@@ -1,0 +1,193 @@
+"""detax command line: train / serve / detect / bench.
+
+The reference has no CLI at all (SURVEY.md §5.6 — only dynaconf paths and
+``runner.py`` hardwired to a demo script). Usage:
+
+  python -m detax.cli train --steps 200 --batch 8 [--coco-json ... --coco-images ...]
+  python -m detax.cli serve --port 8500 --batch 8
+  python -m detax.cli detect image.npy --checkpoint ckpt/
+  python -m detax.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_model(image_size: int, num_classes: int = 80):
+    import jax.numpy as jnp
+
+    from detax.configs import FasterRCNNConf, PreprocessConf
+    from detax.models import FasterRCNN
+
+    conf = FasterRCNNConf(preprocess=PreprocessConf(image_size=image_size))
+    if num_classes != conf.roi.num_classes:
+        conf = conf.replace(roi=conf.roi.replace(num_classes=num_classes))
+    return FasterRCNN(conf=conf, dtype=jnp.bfloat16), conf
+
+
+def cmd_train(args: argparse.Namespace) -> None:
+    import jax
+    import numpy as np
+
+    from detax.configs.detector import PreprocessConf
+    from detax.dist.mesh import create_mesh, shard_batch
+    from detax.structures.image_batch import ImageBatch
+    from detax.structures.logs import get_logs
+    from detax.train.checkpoint import CheckpointManager
+    from detax.train.coco import COCOReader, SyntheticCOCO, make_batches
+    from detax.train.step import make_train_step
+    from detax.train.train_state import create_train_state, make_optimizer, warmup_cosine_schedule
+
+    model, conf = _build_model(args.image_size, args.num_classes)
+    if args.coco_json:
+        dataset = COCOReader(args.coco_json, args.coco_images)
+    else:
+        dataset = SyntheticCOCO(
+            num_images=args.synthetic_images, image_size=args.image_size,
+            num_classes=args.num_classes,
+        )
+    batches = make_batches(
+        dataset, args.batch, PreprocessConf(image_size=args.image_size),
+        max_gt_boxes=conf.max_gt_boxes,
+    )
+
+    images, gt = next(batches)
+    params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), images)
+    schedule = warmup_cosine_schedule(args.lr, args.steps, warmup_steps=min(500, args.steps // 10 + 1))
+    tx = make_optimizer(schedule, params=params)
+    state, tx = create_train_state(params, tx=tx, rng=jax.random.PRNGKey(args.seed))
+
+    mesh = create_mesh() if len(jax.devices()) > 1 else None
+    step_fn = make_train_step(model, tx, mesh=mesh, augment=not args.no_augment)
+    if mesh is not None:
+        state = jax.device_put(state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+
+    logs = get_logs()
+    ckpt = CheckpointManager(args.checkpoint_dir) if args.checkpoint_dir else None
+    best = float("inf")
+    t0 = time.time()
+    for i in range(args.steps):
+        if i > 0:
+            images, gt = next(batches)
+        if mesh is not None:
+            images, gt = shard_batch(mesh, images), shard_batch(mesh, gt)
+        state, metrics = step_fn(state, images, gt)
+        logs.put_metrics(metrics)
+        logs.step()
+        if (i + 1) % args.log_every == 0:
+            loss = float(metrics["total_loss"])
+            rate = args.batch * (i + 1) / (time.time() - t0)
+            print(f"step {i + 1}/{args.steps} loss={loss:.4f} img/s={rate:.1f}")
+            if ckpt and loss < best:
+                best = loss
+                ckpt.save(state, is_best=True)
+    if ckpt:
+        ckpt.save(state, wait=True)
+    print(f"done: final_loss={float(metrics['total_loss']):.4f}")
+
+
+def cmd_serve(args: argparse.Namespace) -> None:
+    import jax
+    import numpy as np
+
+    from detax.serve.server import DetectionService, serve
+    from detax.structures.image_batch import ImageBatch
+
+    model, conf = _build_model(args.image_size, args.num_classes)
+    import jax.numpy as jnp
+
+    init = ImageBatch.from_pixels(jnp.zeros((1, args.image_size, args.image_size, 3)))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), init)
+    service = DetectionService(
+        model, params, conf.preprocess, max_batch=args.batch,
+        batch_timeout_ms=args.batch_timeout_ms,
+    )
+    service.start()
+    serve(service, port=args.port)
+    print(f"serving on :{args.port} (POST /detect, GET /stats)")
+    try:
+        while True:
+            time.sleep(60)
+    except KeyboardInterrupt:
+        service.stop()
+
+
+def cmd_detect(args: argparse.Namespace) -> None:
+    import jax
+    import numpy as np
+
+    from detax.serve.server import DetectionService
+
+    model, conf = _build_model(args.image_size, args.num_classes)
+    import jax.numpy as jnp
+
+    from detax.structures.image_batch import ImageBatch
+
+    init = ImageBatch.from_pixels(jnp.zeros((1, args.image_size, args.image_size, 3)))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), init)
+
+    if args.image.endswith(".npy"):
+        img = np.load(args.image)
+    else:
+        from PIL import Image
+
+        img = np.asarray(Image.open(args.image).convert("RGB"))
+    service = DetectionService(model, params, conf.preprocess, max_batch=1)
+    service.start()
+    print(json.dumps(service.detect(img.astype(np.uint8))))
+    service.stop()
+
+
+def cmd_bench(args: argparse.Namespace) -> None:
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path("bench.py", run_name="__main__")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="detax")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="fine-tune on COCO-format or synthetic data")
+    t.add_argument("--steps", type=int, default=100)
+    t.add_argument("--batch", type=int, default=8)
+    t.add_argument("--lr", type=float, default=0.02)
+    t.add_argument("--image-size", type=int, default=640)
+    t.add_argument("--num-classes", type=int, default=80)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--coco-json", default=None)
+    t.add_argument("--coco-images", default=None)
+    t.add_argument("--synthetic-images", type=int, default=256)
+    t.add_argument("--checkpoint-dir", default=None)
+    t.add_argument("--log-every", type=int, default=10)
+    t.add_argument("--no-augment", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    s = sub.add_parser("serve", help="batched TPU inference server")
+    s.add_argument("--port", type=int, default=8500)
+    s.add_argument("--batch", type=int, default=8)
+    s.add_argument("--batch-timeout-ms", type=float, default=5.0)
+    s.add_argument("--image-size", type=int, default=640)
+    s.add_argument("--num-classes", type=int, default=80)
+    s.set_defaults(fn=cmd_serve)
+
+    d = sub.add_parser("detect", help="run detection on one image")
+    d.add_argument("image")
+    d.add_argument("--image-size", type=int, default=640)
+    d.add_argument("--num-classes", type=int, default=80)
+    d.set_defaults(fn=cmd_detect)
+
+    b = sub.add_parser("bench", help="run the throughput benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

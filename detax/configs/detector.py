@@ -1,0 +1,38 @@
+"""Top-level detector configs.
+
+``FasterRCNNConf`` completes the reference's stub assembly
+(``python/src/models/rcnn.py:4-17``, defect M1: typo'd backbone pick and
+``roi_heads = ...``) into a real, fully-specified two-stage detector config.
+``PreprocessConf`` fixes the input contract: the TPU pipeline letterboxes to a
+static square canvas instead of the reference's dynamic ``ImageList`` padding.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from detax.configs.base import BaseConf, register_conf
+from detax.configs.fpn import FPNConf
+from detax.configs.roi import ROIConf
+from detax.configs.rpn import RegionProposalNetworkConf
+
+
+@register_conf
+class PreprocessConf(BaseConf):
+    image_size: int = 640  # square letterbox canvas
+    # ImageNet mean/std in 0-255 scale, RGB (reference
+    # preprocessing/classification/imagenet.py:5-10 uses 0-1 scale + ToTensor;
+    # detax folds the 255 in so uint8 decode feeds straight through)
+    pixel_mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
+    pixel_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
+
+
+@register_conf
+class FasterRCNNConf(BaseConf):
+    name: str = "faster-rcnn"
+    backbone: FPNConf = FPNConf()
+    rpn: RegionProposalNetworkConf = RegionProposalNetworkConf()
+    roi: ROIConf = ROIConf()
+    preprocess: PreprocessConf = PreprocessConf()
+    # static capacity of GT boxes per image for the padded training pipeline
+    max_gt_boxes: int = 100

@@ -1,0 +1,58 @@
+"""RetinaNet-style single-stage detector config (BASELINE config 3).
+
+No reference analog exists (the reference is two-stage only); this follows
+the standard RetinaNet contract: ResNet+FPN (P3-P7), shared 4-conv cls/box
+towers, focal-loss scoring, class-aware NMS.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from detax.configs.base import BaseConf, register_conf
+from detax.configs.detector import PreprocessConf
+from detax.configs.fpn import FPNConf
+from detax.configs.resnet import ResNetConf
+from detax.configs.rpn import AnchorGeneratorConf, AnchorMatcherConf, Box2BoxTransformConf
+
+
+@register_conf
+class RetinaNetHeadConf(BaseConf):
+    num_convs: int = 4
+    prior_prob: float = 0.01  # focal-loss bias init
+    norm: str = ""
+
+
+@register_conf
+class RetinaNetConf(BaseConf):
+    name: str = "retinanet"
+    backbone: FPNConf = FPNConf(
+        bottom_up=ResNetConf(name="resnet-50", depth=50, stage_blocks=(3, 4, 6, 3), bottleneck=True),
+        out_channels=256,
+    )
+    head: RetinaNetHeadConf = RetinaNetHeadConf()
+    anchor_generator: AnchorGeneratorConf = AnchorGeneratorConf(
+        sizes=(
+            (32.0, 40.32, 50.8),
+            (64.0, 80.63, 101.59),
+            (128.0, 161.26, 203.19),
+            (256.0, 322.54, 406.37),
+            (512.0, 645.08, 812.75),
+        ),
+        aspect_ratios=((0.5, 1.0, 2.0),),
+    )
+    anchor_matcher: AnchorMatcherConf = AnchorMatcherConf(
+        iou_thresholds=(0.4, 0.5), iou_labels=(0, -1, 1), allow_low_quality_matches=True
+    )
+    box2box_transform: Box2BoxTransformConf = Box2BoxTransformConf()
+    preprocess: PreprocessConf = PreprocessConf()
+    num_classes: int = 80
+    in_features: Tuple[str, ...] = ("p1", "p2", "p3", "p4", "p5")
+    focal_loss_alpha: float = 0.25
+    focal_loss_gamma: float = 2.0
+    smooth_l1_beta: float = 0.0
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    topk_candidates: int = 1000  # per level, pre-NMS
+    detections_per_image: int = 100
+    max_gt_boxes: int = 100

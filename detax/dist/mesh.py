@@ -1,0 +1,82 @@
+"""Mesh creation and sharding annotations.
+
+Scaling recipe (the CNN-detector analog of the scaling-book recipe):
+
+- **data axis** (``data``): batch dimension of images / GT / RNG. Gradient
+  all-reduce rides ICI via the ``psum`` XLA inserts for replicated params.
+- **spatial axis** (``spatial``, optional): shards the image H dimension —
+  the conv-backbone analog of sequence/context parallelism (SURVEY.md §5.7).
+  XLA handles conv halo exchange for spatially-sharded convolutions.
+- Params are replicated (detection models are small; the bandwidth win is in
+  activations). A ``model`` axis slot is reserved for channel sharding of
+  very wide backbones.
+
+Multi-host: ``initialize_multihost`` wraps ``jax.distributed.initialize``
+(coordination over DCN); within a slice, collectives stay on ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host (DCN) initialization; no-op for single-process runs."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def create_mesh(
+    devices: Optional[Sequence] = None,
+    data: Optional[int] = None,
+    spatial: int = 1,
+) -> Mesh:
+    """Build a ``(data, spatial)`` mesh over the given (or all) devices.
+
+    Default: all devices on the data axis — pure data parallelism, the right
+    layout for detection training/serving at these model sizes.
+    """
+    devices = list(devices) if devices is not None else list(jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % spatial == 0
+        data = n // spatial
+    assert data * spatial == n, f"{data}x{spatial} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, spatial)
+    return Mesh(dev_array, axis_names=("data", "spatial"))
+
+
+def data_sharding(mesh: Mesh, ndim: int, spatial_dim: Optional[int] = None) -> NamedSharding:
+    """Sharding for a batch-leading array: batch on ``data``; optionally one
+    spatial dim (H) on ``spatial``."""
+    spec = [None] * ndim
+    spec[0] = "data"
+    if spatial_dim is not None and mesh.shape["spatial"] > 1:
+        spec[spatial_dim] = "spatial"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree, spatial_dim: Optional[int] = None):
+    """Device-put a host pytree with batch-dim sharding over the mesh."""
+
+    def put(x):
+        return jax.device_put(x, data_sharding(mesh, np.ndim(x), spatial_dim))
+
+    return jax.tree_util.tree_map(put, tree)

@@ -1,0 +1,138 @@
+"""RetinaNet: single-stage focal-loss detector (BASELINE config 3).
+
+No reference analog (the reference is Faster R-CNN only); the contract is the
+standard one: ResNet-50+FPN, shared cls/box towers, focal loss over all
+anchors, per-level top-K candidate selection, class-aware NMS. Reuses the
+framework's anchor/matcher/transform/NMS primitives — the point of detax's
+pure-ops design.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from detax.configs.retinanet import RetinaNetConf
+from detax.models.backbone import fpn_output_shapes
+from detax.models.fpn import FPN
+from detax.nn.anchors import grid_anchors, num_cell_anchors
+from detax.nn.retina_head import RetinaNetHead
+from detax.ops import box_transform
+from detax.ops.losses import sigmoid_focal_loss, smooth_l1
+from detax.ops.matcher import match
+from detax.ops.nms import batched_nms
+from detax.structures import boxes as box_ops
+from detax.structures.detections import Detections, GroundTruth
+from detax.structures.image_batch import ImageBatch
+
+
+class RetinaNet(nn.Module):
+    conf: RetinaNetConf
+    dtype: Optional[jnp.dtype] = None
+    bn_axis_name: Optional[str] = None
+
+    def setup(self):
+        c = self.conf
+        num_anchors = num_cell_anchors(
+            c.anchor_generator.sizes, c.anchor_generator.aspect_ratios, len(c.in_features)
+        )
+        assert len(set(num_anchors)) == 1, "RetinaNet shares the head across levels"
+        self.backbone = FPN(conf=c.backbone, dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        self.head = RetinaNetHead(
+            num_classes=c.num_classes,
+            num_anchors=num_anchors[0],
+            num_convs=c.head.num_convs,
+            prior_prob=c.head.prior_prob,
+            dtype=self.dtype,
+        )
+
+    def _forward_raw(self, images: ImageBatch, train: bool):
+        c = self.conf
+        feats = self.backbone(images.pixels, train=train)
+        level_feats = [feats[f] for f in c.in_features]
+        logits, deltas = self.head(level_feats)
+        strides = {k: v.stride for k, v in fpn_output_shapes(c.backbone).items()}
+        anchors = grid_anchors(
+            [f.shape[1:3] for f in level_feats],
+            [strides[f] for f in c.in_features],
+            c.anchor_generator.sizes,
+            c.anchor_generator.aspect_ratios,
+            c.anchor_generator.offset,
+        )
+        return anchors, logits, deltas
+
+    def __call__(self, images: ImageBatch, train: bool = False) -> Detections:
+        """Inference: per-level top-K candidates → decode → class-aware NMS."""
+        c = self.conf
+        anchors, logits, deltas = self._forward_raw(images, train)
+
+        cand_boxes, cand_scores, cand_classes = [], [], []
+        for anch, lg, dl in zip(anchors, logits, deltas):
+            b, r, nc = lg.shape
+            probs = jax.nn.sigmoid(lg).reshape(b, r * nc)
+            k = min(c.topk_candidates, r * nc)
+            sc, flat_idx = jax.lax.top_k(probs, k)
+            anchor_idx = flat_idx // nc
+            cls_idx = (flat_idx % nc).astype(jnp.int32)
+            sel_deltas = jnp.take_along_axis(dl, anchor_idx[..., None], axis=1)
+            sel_anchors = jnp.take(anch, anchor_idx, axis=0)
+            bx = box_transform.apply_deltas(
+                sel_deltas, sel_anchors, c.box2box_transform.weights, c.box2box_transform.scale_clamp
+            )
+            cand_boxes.append(bx)
+            cand_scores.append(sc)
+            cand_classes.append(cls_idx)
+
+        boxes = jnp.concatenate(cand_boxes, axis=1)
+        scores = jnp.concatenate(cand_scores, axis=1)
+        classes = jnp.concatenate(cand_classes, axis=1)
+        boxes = box_ops.clip(boxes, images.image_sizes[:, 0:1], images.image_sizes[:, 1:2])
+        valid = (scores > c.score_thresh) & box_ops.nonempty(boxes)
+
+        def per_image(bx, sc, cl, v):
+            idx, ok = batched_nms(bx, sc, cl, c.nms_thresh, c.detections_per_image, valid=v)
+            return jnp.take(bx, idx, axis=0), jnp.take(sc, idx), jnp.take(cl, idx), ok
+
+        db, ds, dc, ok = jax.vmap(per_image)(boxes, scores, classes, valid)
+        return Detections(boxes=db, scores=jnp.where(ok, ds, 0.0), classes=dc, valid=ok)
+
+    def train_forward(
+        self, images: ImageBatch, gt: GroundTruth
+    ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+        """Focal cls loss over all non-ignored anchors + smooth-l1 on fg,
+        both normalized by the fg count (standard RetinaNet recipe)."""
+        c = self.conf
+        m = c.anchor_matcher
+        anchors, logits, deltas = self._forward_raw(images, True)
+        anchors_cat = jnp.concatenate(anchors, axis=0)  # (R, 4)
+        logits_cat = jnp.concatenate(logits, axis=1)  # (B, R, C)
+        deltas_cat = jnp.concatenate(deltas, axis=1)  # (B, R, 4)
+
+        iou = box_ops.pairwise_iou(gt.boxes, anchors_cat[None])  # (B, G, R)
+        matched_idx, labels = jax.vmap(
+            lambda q, v: match(q, v, m.iou_thresholds, m.iou_labels, m.allow_low_quality_matches)
+        )(iou, gt.valid)
+        labels = jax.lax.stop_gradient(labels)
+        matched_idx = jax.lax.stop_gradient(matched_idx)
+
+        fg = labels == 1
+        valid = labels >= 0
+        gt_cls = jnp.take_along_axis(gt.classes, matched_idx, axis=1)  # (B, R)
+        onehot = jax.nn.one_hot(gt_cls, c.num_classes, dtype=jnp.float32) * fg[..., None]
+
+        num_fg = jnp.maximum(jnp.sum(fg), 1.0)
+        cls_loss = sigmoid_focal_loss(logits_cat, onehot, c.focal_loss_alpha, c.focal_loss_gamma)
+        loss_cls = jnp.sum(cls_loss * valid[..., None]) / num_fg
+
+        matched_boxes = jnp.take_along_axis(gt.boxes, matched_idx[..., None], axis=1)
+        tgt = box_transform.get_deltas(anchors_cat[None], matched_boxes, c.box2box_transform.weights)
+        loss_box = jnp.sum(smooth_l1(deltas_cat, tgt, c.smooth_l1_beta) * fg[..., None]) / num_fg
+
+        metrics = {
+            "retinanet/num_fg_anchors": jnp.sum(fg) / logits_cat.shape[0],
+        }
+        return {"loss_cls": loss_cls, "loss_box_reg": loss_box}, metrics

@@ -1,0 +1,245 @@
+"""ROI heads: proposal labeling/sampling, box head, Fast R-CNN inference.
+
+Completes the reference's ``ROIHeads``/``StandardROIHeads``
+(``python/src/models/roi.py:15-373``) whose ``forward`` was never implemented
+(defect M3) and whose box head could not construct (M4): detax provides the
+full train path (label → sample → pool → head → losses) and the full
+inference path (per-class decode → score gate → class-aware NMS), all
+static-shaped.
+
+TPU restructuring vs the reference:
+- per-image loops (``roi.py:155``) → ``vmap``;
+- dynamic sampled-set sizes → exactly ``batch_size_per_image`` ROI slots per
+  image selected by ranked random priorities, with a validity mask for the
+  (rare) shortfall;
+- GT-augmentation (``add_ground_truth_to_proposals``,
+  ``models/utils.py:111-155``) → concatenation of the padded GT block, with
+  the reference's ~+inf objectness logit (it uses logit 40.8) on valid rows.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from detax.configs.roi import ROIConf
+from detax.nn.box_head import FastRCNNConvFCHead, FastRCNNOutputLayers
+from detax.ops import box_transform
+from detax.ops.losses import smooth_l1, softmax_cross_entropy
+from detax.ops.matcher import match
+from detax.ops.nms import batched_nms
+from detax.ops.roi_align import multiscale_roi_align
+from detax.ops.sampling import subsample_labels
+from detax.structures import boxes as box_ops
+from detax.structures.detections import Detections, GroundTruth
+
+# The reference gives GT-proposals logit log((1-1e-10)/1e-10) ≈ 23 (float32)
+# (models/utils.py:135-142); any large finite value works.
+_GT_LOGIT = 23.0
+
+
+class StandardROIHeads(nn.Module):
+    """The NN part: pooled features → box head → (scores, deltas)."""
+
+    conf: ROIConf
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, pooled: Array, train: bool = False) -> Tuple[Array, Array]:
+        h = self.conf.box_head
+        x = FastRCNNConvFCHead(
+            num_conv=h.num_conv, conv_dim=h.conv_dim, num_fc=h.num_fc, fc_dim=h.fc_dim,
+            norm=h.norm, dtype=self.dtype, name="box_head",
+        )(pooled, train=train)
+        return FastRCNNOutputLayers(
+            num_classes=self.conf.num_classes, dtype=self.dtype, name="box_predictor"
+        )(x)
+
+
+def pool_features(
+    conf: ROIConf,
+    features: Dict[str, Array],
+    feature_strides: Dict[str, int],
+    boxes: Array,
+) -> Array:
+    """Multi-level ROIAlign over ``conf.in_features`` (reference
+    ``ROIPooler.forward``, ``roi_poolers.py:269-331``)."""
+    feats = [features[f] for f in conf.in_features]
+    strides = [feature_strides[f] for f in conf.in_features]
+    p = conf.box_pooler
+    return multiscale_roi_align(
+        feats,
+        boxes,
+        strides,
+        output_size=p.output_size,
+        sampling_ratio=p.sampling_ratio,
+        aligned=p.type == "ROIAlignV2",
+        canonical_box_size=p.canonical_box_size,
+        canonical_level=p.canonical_level,
+    )
+
+
+def add_ground_truth_to_proposals(proposals: Detections, gt: GroundTruth) -> Detections:
+    """Append (padded) GT boxes as proposals (reference
+    ``add_ground_truth_to_proposals``, ``models/utils.py:111-155``)."""
+    b, g = gt.boxes.shape[0], gt.boxes.shape[1]
+    gt_dets = Detections(
+        boxes=gt.boxes,
+        scores=jnp.where(gt.valid, _GT_LOGIT, -jnp.inf),
+        classes=jnp.zeros((b, g), jnp.int32),
+        valid=gt.valid,
+    )
+    return Detections.concatenate([proposals, gt_dets])
+
+
+def label_and_sample_proposals(
+    key: Array,
+    conf: ROIConf,
+    proposals: Detections,
+    gt: GroundTruth,
+) -> Tuple[Array, Array, Array, Array, Array, Dict[str, Array]]:
+    """Match proposals to GT, subsample a fixed ROI batch per image.
+
+    (reference ``label_and_sample_proposals``, ``roi.py:107-193`` +
+    ``_sample_proposals``, ``roi.py:68-105``.)
+
+    Returns per-image fixed-size (``batch_size_per_image``) arrays:
+      ``boxes (B, S, 4)``, ``gt_classes (B, S)`` (num_classes = background),
+      ``target_boxes (B, S, 4)``, ``is_fg (B, S)``, ``valid (B, S)``,
+      and a metrics dict (reference ``Logs`` names ``roi_head/num_fg_samples``
+      / ``roi_head/num_bg_samples``).
+    """
+    if conf.proposal_append_gt:
+        proposals = add_ground_truth_to_proposals(proposals, gt)
+
+    num_classes = conf.num_classes
+    m = conf.proposal_matcher
+    s = conf.batch_size_per_image
+
+    iou = box_ops.pairwise_iou(gt.boxes, proposals.boxes)  # (B, G, P)
+    # mask padded proposals so they can't match (quality 0 → background)
+    iou = jnp.where(proposals.valid[:, None, :], iou, 0.0)
+    matched_idx, matched_labels = jax.vmap(
+        lambda q, v: match(q, v, m.thresholds, m.labels, m.allow_low_quality_matches)
+    )(iou, gt.valid)
+
+    has_gt = gt.num_valid() > 0  # (B,)
+    gt_classes = jnp.take_along_axis(gt.classes, matched_idx, axis=1)  # (B, P)
+    gt_classes = jnp.where(matched_labels == 0, num_classes, gt_classes)  # bg
+    gt_classes = jnp.where(matched_labels == -1, -1, gt_classes)  # ignore
+    # no GT in image → everything background (reference roi.py:168-171)
+    gt_classes = jnp.where(has_gt[:, None], gt_classes, num_classes)
+    # padded proposal slots are never used
+    gt_classes = jnp.where(proposals.valid, gt_classes, -1)
+
+    def per_image(k, classes):
+        pos_mask, neg_mask = subsample_labels(
+            k, classes, s, conf.positive_fraction, bg_label=num_classes
+        )
+        sampled = pos_mask | neg_mask
+        k2 = jax.random.fold_in(k, 1)
+        prio = jax.random.uniform(k2, classes.shape) + sampled.astype(jnp.float32)
+        _, idx = jax.lax.top_k(prio, s)
+        return idx, jnp.take(sampled, idx), jnp.take(pos_mask, idx)
+
+    keys = jax.random.split(key, gt_classes.shape[0])
+    idx, valid, is_fg = jax.vmap(per_image)(keys, gt_classes)
+
+    boxes = jnp.take_along_axis(proposals.boxes, idx[..., None], axis=1)
+    classes = jnp.take_along_axis(gt_classes, idx, axis=1)
+    classes = jnp.where(valid, classes, num_classes)  # inert slots → bg
+    tgt_idx = jnp.take_along_axis(matched_idx, idx, axis=1)
+    target_boxes = jnp.take_along_axis(gt.boxes, tgt_idx[..., None], axis=1)
+
+    num_images = boxes.shape[0]
+    metrics = {
+        "roi_head/num_fg_samples": jnp.sum(is_fg & valid) / num_images,
+        "roi_head/num_bg_samples": jnp.sum(valid & ~is_fg) / num_images,
+    }
+    sg = jax.lax.stop_gradient
+    return sg(boxes), sg(classes), sg(target_boxes), sg(is_fg & valid), sg(valid), metrics
+
+
+def fast_rcnn_losses(
+    conf: ROIConf,
+    scores: Array,
+    deltas: Array,
+    sampled_boxes: Array,
+    gt_classes: Array,
+    target_boxes: Array,
+    is_fg: Array,
+    valid: Array,
+) -> Dict[str, Array]:
+    """Fast R-CNN losses (Detectron2 ``FastRCNNOutputLayers.losses`` contract —
+    the part the reference never shipped, M3/M4).
+
+    cls: softmax CE over C+1, averaged over sampled ROIs.
+    box: smooth-l1 on the fg ROIs' own-class deltas, summed / total sampled.
+    """
+    num_sampled = jnp.maximum(jnp.sum(valid), 1.0)
+    ce = softmax_cross_entropy(scores, jnp.clip(gt_classes, 0, conf.num_classes))
+    loss_cls = jnp.sum(ce * valid) / num_sampled
+
+    target_deltas = box_transform.get_deltas(
+        sampled_boxes, target_boxes, conf.box2box_transform.weights
+    )
+    own = jnp.clip(gt_classes, 0, conf.num_classes - 1)
+    own_idx = jnp.broadcast_to(own[..., None, None], own.shape + (1, 4))
+    pred_fg_deltas = jnp.take_along_axis(deltas, own_idx, axis=-2)[..., 0, :]
+    l1 = smooth_l1(pred_fg_deltas, target_deltas, conf.smooth_l1_beta)
+    loss_box = jnp.sum(l1 * is_fg[..., None]) / num_sampled
+    return {"loss_cls": loss_cls, "loss_box_reg": loss_box}
+
+
+def fast_rcnn_inference(
+    conf: ROIConf,
+    scores: Array,
+    deltas: Array,
+    proposal_boxes: Array,
+    proposal_valid: Array,
+    image_sizes: Array,
+) -> Detections:
+    """Per-class decode → score gate → class-aware NMS → top detections.
+
+    (Detectron2 ``fast_rcnn_inference`` contract; static-shaped: the dynamic
+    score-threshold filter becomes a validity gate + top-K candidate cap.)
+
+    Args:
+      scores: ``(B, P, C+1)`` logits; deltas ``(B, P, C, 4)``;
+      proposal_boxes ``(B, P, 4)``; image_sizes ``(B, 2)``.
+    """
+    probs = jax.nn.softmax(scores, axis=-1)[..., :-1]  # (B, P, C)
+    boxes = box_transform.apply_deltas(
+        deltas,
+        proposal_boxes,
+        conf.box2box_transform.weights,
+        conf.box2box_transform.scale_clamp,
+    )  # (B, P, C, 4)
+    boxes = box_ops.clip(boxes, image_sizes[:, 0:1, None], image_sizes[:, 1:2, None])
+
+    b, p, c = probs.shape
+    flat_scores = probs.reshape(b, p * c)
+    flat_boxes = boxes.reshape(b, p * c, 4)
+    flat_classes = jnp.tile(jnp.arange(c, dtype=jnp.int32)[None, None, :], (b, p, 1)).reshape(b, p * c)
+    gate = (
+        (probs > conf.score_thresh)
+        & proposal_valid[..., None]
+        & box_ops.nonempty(boxes)
+    ).reshape(b, p * c)
+
+    k = min(conf.pre_nms_candidates, p * c)
+    cand_scores, cand_idx = jax.lax.top_k(jnp.where(gate, flat_scores, -jnp.inf), k)
+    cand_boxes = jnp.take_along_axis(flat_boxes, cand_idx[..., None], axis=1)
+    cand_classes = jnp.take_along_axis(flat_classes, cand_idx, axis=1)
+    cand_valid = cand_scores > -jnp.inf
+
+    def per_image(bx, sc, cl, v):
+        idx, ok = batched_nms(bx, sc, cl, conf.nms_thresh, conf.detections_per_image, valid=v)
+        return jnp.take(bx, idx, axis=0), jnp.take(sc, idx), jnp.take(cl, idx), ok
+
+    db, ds, dc, ok = jax.vmap(per_image)(cand_boxes, cand_scores, cand_classes, cand_valid)
+    return Detections(boxes=db, scores=jnp.where(ok, ds, 0.0), classes=dc, valid=ok)

@@ -1,0 +1,207 @@
+"""YOLO-style multi-scale anchor detector (BASELINE config 4).
+
+No reference analog. Classic YOLOv3-flavored anchor head over three strides
+of the ResNet backbone, with static-shape training assignment:
+
+- each (valid) GT box is assigned to exactly one (level, anchor, cell) — the
+  wh-prior with best IoU against the GT's size, at the GT's center cell —
+  scattered into fixed per-level target grids with ``.at[].set`` (the
+  TPU-friendly replacement for the usual host-side target builder);
+- objectness targets at unassigned anchors are ignored when their predicted
+  box overlaps any GT above ``nms_thresh`` (the v3 "ignore" rule) — detax
+  approximates with anchor-prior IoU which is static and cheap.
+
+Inference: per level top-K by combined obj·cls score → decode → class-aware
+NMS (the per-level Pallas NMS path once ``detax.ops.nms_pallas`` lands).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from detax.configs.yolo import YOLOConf
+from detax.models.resnet import ResNet
+from detax.nn.yolo_head import YOLOHead
+from detax.ops.losses import bce_with_logits
+from detax.ops.nms import batched_nms
+from detax.structures import boxes as box_ops
+from detax.structures.detections import Detections, GroundTruth
+from detax.structures.image_batch import ImageBatch
+
+
+def _decode_level(raw: Array, anchors_wh: Array, stride: int, hw: Tuple[int, int]) -> Tuple[Array, Array, Array]:
+    """raw (B, H*W*A, 5+C) → (boxes (B,H*W*A,4), obj (B,H*W*A), cls (B,H*W*A,C))."""
+    h, w = hw
+    b = raw.shape[0]
+    a = anchors_wh.shape[0]
+    txy = jax.nn.sigmoid(raw[..., 0:2])
+    twh = raw[..., 2:4]
+    obj = raw[..., 4]
+    cls = raw[..., 5:]
+
+    gy = jnp.arange(h, dtype=jnp.float32)
+    gx = jnp.arange(w, dtype=jnp.float32)
+    grid = jnp.stack(
+        [jnp.tile(gx[None, :], (h, 1)), jnp.tile(gy[:, None], (1, w))], axis=-1
+    )  # (H, W, 2) as (x, y)
+    grid = jnp.broadcast_to(grid[:, :, None, :], (h, w, a, 2)).reshape(1, h * w * a, 2)
+    wh_prior = jnp.broadcast_to(anchors_wh[None, None, :, :], (h, w, a, 2)).reshape(1, h * w * a, 2)
+
+    cxy = (txy + grid) * stride
+    wh = wh_prior * jnp.exp(jnp.clip(twh, None, 8.0))
+    boxes = jnp.concatenate([cxy - wh / 2, cxy + wh / 2], axis=-1)
+    return boxes, obj, cls
+
+
+class YOLO(nn.Module):
+    conf: YOLOConf
+    dtype: Optional[jnp.dtype] = None
+    bn_axis_name: Optional[str] = None
+
+    def setup(self):
+        c = self.conf
+        self.backbone = ResNet(conf=c.backbone, dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        self.head = YOLOHead(
+            num_classes=c.num_classes,
+            num_anchors=len(c.head.anchors[0]),
+            hidden_dim=c.head.hidden_dim,
+            dtype=self.dtype,
+        )
+
+    def _forward_raw(self, images: ImageBatch, train: bool):
+        c = self.conf
+        feats = self.backbone(images.pixels, train=train)
+        level_feats = [feats[f] for f in c.in_features]
+        raw = self.head(level_feats)
+        hws = [f.shape[1:3] for f in level_feats]
+        return raw, hws
+
+    def __call__(self, images: ImageBatch, train: bool = False) -> Detections:
+        c = self.conf
+        raw, hws = self._forward_raw(images, train)
+        cand_boxes, cand_scores, cand_classes = [], [], []
+        for lvl, (r, hw) in enumerate(zip(raw, hws)):
+            anchors_wh = jnp.asarray(c.head.anchors[lvl], jnp.float32)
+            boxes, obj, cls = _decode_level(r, anchors_wh, c.head.strides[lvl], hw)
+            score = jax.nn.sigmoid(obj)[..., None] * jax.nn.sigmoid(cls)  # (B, R, C)
+            b, rr, nc = score.shape
+            flat = score.reshape(b, rr * nc)
+            k = min(c.topk_candidates, rr * nc)
+            sc, flat_idx = jax.lax.top_k(flat, k)
+            a_idx = flat_idx // nc
+            cls_idx = (flat_idx % nc).astype(jnp.int32)
+            bx = jnp.take_along_axis(boxes, a_idx[..., None], axis=1)
+            cand_boxes.append(bx)
+            cand_scores.append(sc)
+            cand_classes.append(cls_idx)
+
+        boxes = jnp.concatenate(cand_boxes, axis=1)
+        scores = jnp.concatenate(cand_scores, axis=1)
+        classes = jnp.concatenate(cand_classes, axis=1)
+        boxes = box_ops.clip(boxes, images.image_sizes[:, 0:1], images.image_sizes[:, 1:2])
+        valid = (scores > c.conf_thresh) & box_ops.nonempty(boxes)
+
+        def per_image(bx, sc, cl, v):
+            idx, ok = batched_nms(bx, sc, cl, c.nms_thresh, c.detections_per_image, valid=v)
+            return jnp.take(bx, idx, axis=0), jnp.take(sc, idx), jnp.take(cl, idx), ok
+
+        db, ds, dc, ok = jax.vmap(per_image)(boxes, scores, classes, valid)
+        return Detections(boxes=db, scores=jnp.where(ok, ds, 0.0), classes=dc, valid=ok)
+
+    def train_forward(
+        self, images: ImageBatch, gt: GroundTruth
+    ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+        c = self.conf
+        raw, hws = self._forward_raw(images, True)
+        num_levels = len(raw)
+        a = len(c.head.anchors[0])
+
+        # ---- static assignment: best wh-prior per GT ----
+        all_priors = jnp.asarray(
+            [wh for lvl in c.head.anchors for wh in lvl], jnp.float32
+        )  # (L*A, 2)
+        gt_wh = jnp.stack(
+            [gt.boxes[..., 2] - gt.boxes[..., 0], gt.boxes[..., 3] - gt.boxes[..., 1]], axis=-1
+        )  # (B, G, 2)
+        inter = jnp.minimum(gt_wh[..., None, 0], all_priors[None, None, :, 0]) * jnp.minimum(
+            gt_wh[..., None, 1], all_priors[None, None, :, 1]
+        )
+        union = (
+            gt_wh[..., 0:1] * gt_wh[..., 1:2]
+            + all_priors[None, None, :, 0] * all_priors[None, None, :, 1]
+            - inter
+        )
+        prior_iou = inter / jnp.maximum(union, 1e-6)  # (B, G, L*A)
+        best = jnp.argmax(prior_iou, axis=-1)  # (B, G)
+        best_level = best // a
+        best_anchor = best % a
+
+        cx = (gt.boxes[..., 0] + gt.boxes[..., 2]) / 2
+        cy = (gt.boxes[..., 1] + gt.boxes[..., 3]) / 2
+
+        losses_obj, losses_box, losses_cls = [], [], []
+        num_assigned = jnp.sum(gt.valid)
+        total_anchors = 0
+        for lvl, (r, hw) in enumerate(zip(raw, hws)):
+            h, w = hw
+            stride = c.head.strides[lvl]
+            anchors_wh = jnp.asarray(c.head.anchors[lvl], jnp.float32)
+            on_lvl = (best_level == lvl) & gt.valid  # (B, G)
+            gx = jnp.clip((cx / stride).astype(jnp.int32), 0, w - 1)
+            gy = jnp.clip((cy / stride).astype(jnp.int32), 0, h - 1)
+            flat = (gy * w + gx) * a + best_anchor  # (B, G) index into H*W*A
+
+            rr = h * w * a
+            total_anchors += rr
+
+            # scatter per image: obj target, box targets, class target
+            def per_image(flat_i, on_i, boxes_i, cls_i, best_anchor_i):
+                tobj = jnp.zeros((rr,), jnp.float32).at[flat_i].max(on_i.astype(jnp.float32))
+                gw = boxes_i[:, 2] - boxes_i[:, 0]
+                gh = boxes_i[:, 3] - boxes_i[:, 1]
+                gcx = (boxes_i[:, 0] + boxes_i[:, 2]) / 2
+                gcy = (boxes_i[:, 1] + boxes_i[:, 3]) / 2
+                tx = gcx / stride - jnp.floor(gcx / stride)
+                ty = gcy / stride - jnp.floor(gcy / stride)
+                pw = anchors_wh[best_anchor_i, 0]
+                ph = anchors_wh[best_anchor_i, 1]
+                tw = jnp.log(jnp.maximum(gw, 1.0) / pw)
+                th = jnp.log(jnp.maximum(gh, 1.0) / ph)
+                vals = jnp.stack([tx, ty, tw, th], axis=-1)
+                tbox = jnp.zeros((rr, 4), jnp.float32).at[flat_i].set(
+                    vals * on_i[:, None]
+                )
+                tcls = jnp.zeros((rr,), jnp.int32).at[flat_i].set(cls_i * on_i)
+                tmask = jnp.zeros((rr,), bool).at[flat_i].max(on_i)
+                return tobj, tbox, tcls, tmask
+
+            tobj, tbox, tcls, tmask = jax.vmap(per_image)(
+                flat, on_lvl, gt.boxes, gt.classes, best_anchor
+            )
+            tobj = jax.lax.stop_gradient(tobj)
+            tbox = jax.lax.stop_gradient(tbox)
+            tmask = jax.lax.stop_gradient(tmask)
+
+            pred_txy = jax.nn.sigmoid(r[..., 0:2])
+            pred_twh = r[..., 2:4]
+            pred = jnp.concatenate([pred_txy, pred_twh], axis=-1)
+            losses_box.append(jnp.sum(((pred - tbox) ** 2) * tmask[..., None]))
+            losses_obj.append(jnp.sum(bce_with_logits(r[..., 4], tobj)))
+            onehot = jax.nn.one_hot(tcls, c.num_classes, dtype=jnp.float32)
+            losses_cls.append(jnp.sum(bce_with_logits(r[..., 5:], onehot) * tmask[..., None]))
+
+        n = jnp.maximum(num_assigned.astype(jnp.float32), 1.0)
+        num_images = images.pixels.shape[0]
+        losses = {
+            # obj BCE averaged over every anchor slot (it covers bg + fg)
+            "loss_obj": sum(losses_obj) / (num_images * total_anchors) * c.obj_loss_weight,
+            "loss_box_reg": sum(losses_box) / n * c.box_loss_weight,
+            "loss_cls": sum(losses_cls) / n * c.cls_loss_weight,
+        }
+        metrics = {"yolo/num_assigned": num_assigned / num_images}
+        return losses, metrics

@@ -1,0 +1,79 @@
+"""Fused on-device preprocessing: letterbox resize + normalize + NHWC.
+
+Replaces the reference's host-side PIL/torchvision pipeline
+(``python/src/preprocessing/classification/imagenet.py:5-17``: Resize256 →
+CenterCrop224 → ToTensor → Normalize) and its dynamic ``ImageList`` padding
+(``structures/image_list.py:65-117``) with a single jitted XLA program:
+uint8 pixels go to the device once, everything else (cast, scale, bilinear
+resize, pad, normalize) fuses on-chip — the "decode→letterbox→normalize"
+north-star hot path. JPEG *entropy decode* itself is host work (no TPU op
+exists); the serving layer decodes with the native loader and ships raw
+uint8.
+
+All shapes are static: one compiled program per (input HW, canvas) pair.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from detax.configs.detector import PreprocessConf
+from detax.structures.image_batch import ImageBatch
+
+
+def letterbox_batch(pixels: Array, conf: PreprocessConf) -> ImageBatch:
+    """uint8/float ``(B, H0, W0, 3)`` → normalized letterboxed ``ImageBatch``.
+
+    Scale = min(S/H0, S/W0); image is placed at the top-left corner (matching
+    the reference's bottom/right zero padding, ``image_list.py:97-107``),
+    remainder holds the (normalized) zero pixel.
+    """
+    size = conf.image_size
+    b, h0, w0, c = pixels.shape
+    scale = min(size / h0, size / w0)
+    new_h, new_w = round(h0 * scale), round(w0 * scale)
+
+    x = pixels.astype(jnp.float32)
+    if (new_h, new_w) != (h0, w0):
+        x = jax.image.resize(x, (b, new_h, new_w, c), method="bilinear")
+    mean = jnp.asarray(conf.pixel_mean, jnp.float32)
+    std = jnp.asarray(conf.pixel_std, jnp.float32)
+    x = (x - mean) / std
+    pad_h, pad_w = size - new_h, size - new_w
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+
+    sizes = jnp.tile(jnp.asarray([[float(new_h), float(new_w)]], jnp.float32), (b, 1))
+    scales = jnp.full((b,), scale, jnp.float32)
+    return ImageBatch(pixels=x, image_sizes=sizes, scales=scales)
+
+
+def classification_preprocess(pixels: Array, conf: PreprocessConf, crop: int = 224) -> Array:
+    """ImageNet eval transform parity (reference ``imagenet.py:5-17``):
+    resize shorter side to 256 → center crop ``crop`` → normalize. Static
+    shapes; returns ``(B, crop, crop, 3)``."""
+    b, h0, w0, c = pixels.shape
+    short = 256
+    scale = short / min(h0, w0)
+    new_h, new_w = round(h0 * scale), round(w0 * scale)
+    x = jax.image.resize(pixels.astype(jnp.float32), (b, new_h, new_w, c), method="bilinear")
+    top = (new_h - crop) // 2
+    left = (new_w - crop) // 2
+    x = jax.lax.dynamic_slice(x, (0, top, left, 0), (b, crop, crop, c))
+    mean = jnp.asarray(conf.pixel_mean, jnp.float32)
+    std = jnp.asarray(conf.pixel_std, jnp.float32)
+    return (x - mean) / std
+
+
+def boxes_to_canvas(boxes: Array, scales: Array) -> Array:
+    """Map original-image GT boxes into letterboxed canvas coordinates."""
+    return boxes * scales[..., None, None]
+
+
+def boxes_to_original(boxes: Array, scales: Array) -> Array:
+    """Map predicted canvas boxes back to original-image coordinates."""
+    return boxes / scales[..., None, None]

@@ -1,0 +1,214 @@
+"""Batched TPU detection service + HTTP front end.
+
+Replaces the reference's absent Rust server (SURVEY.md §2.3) with the same
+request/response *contract* a detection server needs:
+
+  POST /detect   body = raw RGB uint8 pixels, header ``X-Image-Shape: H,W,3``
+                 → JSON {"boxes": [[x1,y1,x2,y2]..], "scores": [..],
+                         "classes": [..]} in original-image coordinates.
+  GET  /stats    → JSON {"p50_ms", "p90_ms", "p99_ms", "completed",
+                          "pending"} — the BASELINE "p50 request latency".
+
+Architecture: HTTP threads submit into the native C++ batcher
+(``native/batcher.cpp``) and block; a single runner thread pulls coalesced
+batches, letterboxes to the static canvas, executes one jitted XLA program
+(fixed batch shape — the batch is padded to ``max_batch`` so exactly one
+compiled program serves all traffic), and posts results back through the
+batcher, which records end-to-end latency percentiles natively.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from detax.serve.batcher import DynamicBatcher
+
+_HEADER = struct.Struct("<III")  # h, w, c
+
+
+def encode_request(image: np.ndarray) -> bytes:
+    assert image.dtype == np.uint8 and image.ndim == 3
+    h, w, c = image.shape
+    return _HEADER.pack(h, w, c) + image.tobytes()
+
+
+def decode_request(payload: np.ndarray | bytes) -> np.ndarray:
+    buf = bytes(payload[: _HEADER.size]) if isinstance(payload, np.ndarray) else payload[: _HEADER.size]
+    h, w, c = _HEADER.unpack(buf)
+    raw = payload[_HEADER.size : _HEADER.size + h * w * c]
+    arr = np.frombuffer(bytes(raw), np.uint8) if not isinstance(raw, np.ndarray) else raw.astype(np.uint8)
+    return np.asarray(arr, np.uint8).reshape(h, w, c)
+
+
+class DetectionService:
+    """Owns the model, the jitted program, and the runner thread."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        preprocess_conf,
+        max_batch: int = 8,
+        batch_timeout_ms: float = 5.0,
+        max_image_bytes: int = 1 << 22,
+    ):
+        import jax
+
+        self.model = model
+        self.params = params
+        self.pconf = preprocess_conf
+        self.max_batch = max_batch
+        self.batcher = DynamicBatcher(max_batch, batch_timeout_ms, item_bytes=max_image_bytes + 64)
+        self._fwd = jax.jit(lambda p, im: model.apply(p, im))
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    # -- client API ----------------------------------------------------------
+    def detect(self, image: np.ndarray) -> dict:
+        """Blocking single-image detect (thread-safe; batching happens
+        underneath)."""
+        rid = self.batcher.submit(encode_request(image))
+        out = self.batcher.wait_result(rid)
+        return json.loads(out.decode())
+
+    def stats(self) -> dict:
+        return {
+            "p50_ms": self.batcher.latency_percentile_ms(50),
+            "p90_ms": self.batcher.latency_percentile_ms(90),
+            "p99_ms": self.batcher.latency_percentile_ms(99),
+            "completed": self.batcher.completed(),
+            "pending": self.batcher.pending(),
+        }
+
+    # -- runner ----------------------------------------------------------------
+    def warmup(self) -> None:
+        """Compile the serving program before taking traffic (one XLA program
+        per (max_batch, canvas) — first-request latency drops to steady state)."""
+        import jax
+        import jax.numpy as jnp
+
+        from detax.structures.image_batch import ImageBatch
+
+        size = self.pconf.image_size
+        batch = ImageBatch.from_pixels(jnp.zeros((self.max_batch, size, size, 3), jnp.float32))
+        dets = self._fwd(self.params, batch)
+        jax.block_until_ready(dets.boxes)
+
+    def start(self, warmup: bool = True) -> None:
+        assert self._thread is None
+        if warmup:
+            self.warmup()
+        self._thread = threading.Thread(target=self._run, daemon=True, name="detax-runner")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.batcher.close()
+
+    def _run(self) -> None:
+        import jax.numpy as jnp
+
+        from detax.structures.image_batch import ImageBatch
+
+        size = self.pconf.image_size
+        mean = np.asarray(self.pconf.pixel_mean, np.float32)
+        std = np.asarray(self.pconf.pixel_std, np.float32)
+
+        while not self._stop.is_set():
+            ids, payloads = self.batcher.next_batch()
+            if not ids:
+                if self._stop.is_set():
+                    return
+                continue
+            n = len(ids)
+            pixels = np.zeros((self.max_batch, size, size, 3), np.float32)
+            sizes = np.full((self.max_batch, 2), 1.0, np.float32)
+            scales = np.ones((self.max_batch,), np.float32)
+            for i in range(n):
+                img = decode_request(payloads[i])
+                h0, w0 = img.shape[:2]
+                scale = min(size / h0, size / w0)
+                nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+                from detax.train.coco import _resize_bilinear
+
+                resized = (
+                    _resize_bilinear(img.astype(np.float32), nh, nw)
+                    if (nh, nw) != (h0, w0)
+                    else img.astype(np.float32)
+                )
+                pixels[i, :nh, :nw] = (resized - mean) / std
+                sizes[i] = (nh, nw)
+                scales[i] = scale
+
+            batch = ImageBatch(
+                pixels=jnp.asarray(pixels),
+                image_sizes=jnp.asarray(sizes),
+                scales=jnp.asarray(scales),
+            )
+            dets = self._fwd(self.params, batch)
+            boxes = np.asarray(dets.boxes)
+            scores = np.asarray(dets.scores)
+            classes = np.asarray(dets.classes)
+            valid = np.asarray(dets.valid)
+            for i, rid in enumerate(ids):
+                keep = valid[i]
+                result = {
+                    "boxes": (boxes[i][keep] / scales[i]).tolist(),
+                    "scores": scores[i][keep].tolist(),
+                    "classes": classes[i][keep].tolist(),
+                }
+                self.batcher.post_result(rid, json.dumps(result).encode())
+
+
+def serve(service: DetectionService, port: int = 8500) -> ThreadingHTTPServer:
+    """Start the HTTP front end (returns the server; call serve_forever)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/stats":
+                body = json.dumps(service.stats()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def do_POST(self):
+            if self.path != "/detect":
+                self.send_response(404)
+                self.end_headers()
+                return
+            try:
+                shape = tuple(int(x) for x in self.headers["X-Image-Shape"].split(","))
+                length = int(self.headers["Content-Length"])
+                raw = self.rfile.read(length)
+                img = np.frombuffer(raw, np.uint8).reshape(shape)
+                result = service.detect(img)
+                body = json.dumps(result).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:  # contract: errors are JSON too
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(400)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True, name="detax-http").start()
+    return server

@@ -1,0 +1,75 @@
+"""Checkpoint / resume: full train state via Orbax.
+
+Replaces the reference's weights-only ``BaseModel.save/load`` +
+``model_best.pth.tar`` convention (``models/base.py:47-76``,
+``utils.py:163-166``) with preemption-safe full-state checkpoints (params,
+optimizer state, step, RNG) — async multi-host capable through Orbax.
+The ``model_best`` copy convention is preserved via ``save(..., is_best=True)``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from detax.train.train_state import TrainState
+
+BEST_NAME = "model_best"
+
+
+class CheckpointManager:
+    """Thin wrapper over Orbax's CheckpointManager.
+
+    Layout: ``<directory>/<step>/`` for periodic saves plus
+    ``<directory>/model_best/`` mirroring the reference's best-copy.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+        self._best = ocp.StandardCheckpointer()
+
+    def save(self, state: TrainState, is_best: bool = False, wait: bool = False) -> None:
+        step = int(state.step)
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if is_best:
+            path = os.path.join(self.directory, BEST_NAME)
+            self._best.save(path, state, force=True)
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
+        """Restore latest (or given) step into the shape/sharding of ``template``."""
+        if step is None:
+            step = self._mgr.latest_step()
+        assert step is not None, f"no checkpoint found in {self.directory}"
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+    def restore_best(self, template: TrainState) -> TrainState:
+        path = os.path.join(self.directory, BEST_NAME)
+        return self._best.restore(path, target=template)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def save_params(params: Any, path: str) -> None:
+    """Weights-only save (the reference's 'pre-trained' mode analog)."""
+    ocp.StandardCheckpointer().save(os.path.abspath(path), params, force=True)
+
+
+def load_params(template: Any, path: str) -> Any:
+    return ocp.StandardCheckpointer().restore(os.path.abspath(path), target=template)

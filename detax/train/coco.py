@@ -1,0 +1,186 @@
+"""COCO-style dataset pipeline (BASELINE config 5: COCO-subset fine-tune).
+
+The reference has no dataset/dataloader at all (SURVEY.md §0). detax provides:
+
+- a reader for COCO-format annotation JSON + image files (decoded host-side
+  with PIL when available);
+- a synthetic COCO-subset generator (random "objects" drawn onto canvases)
+  so the fine-tune loop and benchmarks run hermetically with zero downloads;
+- fixed-shape batching: images letterboxed to the static canvas, GT padded to
+  ``max_gt_boxes`` — the host→device contract of the whole framework.
+
+The high-throughput path is the native C++ loader in ``detax.serve.native``
+(double-buffered prefetch); this module is the portable fallback and the
+format/semantics reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from detax.configs.detector import PreprocessConf
+from detax.structures.detections import GroundTruth
+from detax.structures.image_batch import ImageBatch
+
+
+def synthesize_detection_image(
+    rng: np.random.RandomState,
+    size: int,
+    num_classes: int,
+    max_objects: int = 8,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Draw colored rectangles on noise — a hermetic stand-in for COCO images.
+
+    Returns ``(uint8 HWC image, (g, 4) boxes, (g,) classes)``. Each class has
+    a distinctive color so a detector can actually learn from this data.
+    """
+    img = (rng.rand(size, size, 3) * 60).astype(np.uint8)
+    n = rng.randint(1, max_objects + 1)
+    boxes, classes = [], []
+    for _ in range(n):
+        w = rng.randint(size // 10, size // 2)
+        h = rng.randint(size // 10, size // 2)
+        x1 = rng.randint(0, size - w)
+        y1 = rng.randint(0, size - h)
+        cls = rng.randint(0, num_classes)
+        color = np.array(
+            [(cls * 37) % 200 + 55, (cls * 91) % 200 + 55, (cls * 53) % 200 + 55], np.uint8
+        )
+        img[y1 : y1 + h, x1 : x1 + w] = color
+        boxes.append([x1, y1, x1 + w, y1 + h])
+        classes.append(cls)
+    return img, np.asarray(boxes, np.float32), np.asarray(classes, np.int32)
+
+
+class SyntheticCOCO:
+    """Infinite synthetic detection dataset with a fixed number of base images."""
+
+    def __init__(self, num_images: int = 256, image_size: int = 640, num_classes: int = 80, seed: int = 0):
+        self.num_images = num_images
+        self.image_size = image_size
+        self.num_classes = num_classes
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.num_images
+
+    def get(self, index: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        rng = np.random.RandomState(self.seed * 100003 + index)
+        return synthesize_detection_image(rng, self.image_size, self.num_classes)
+
+
+class COCOReader:
+    """COCO-format annotation reader (instances JSON + image dir)."""
+
+    def __init__(self, annotation_file: str, image_dir: str):
+        with open(annotation_file) as f:
+            data = json.load(f)
+        self.image_dir = image_dir
+        self.images = {im["id"]: im for im in data["images"]}
+        # contiguous class ids (COCO category ids are sparse)
+        cat_ids = sorted(c["id"] for c in data["categories"])
+        self.cat_to_contiguous = {cid: i for i, cid in enumerate(cat_ids)}
+        self.annotations: Dict[int, List[dict]] = {}
+        for ann in data["annotations"]:
+            if ann.get("iscrowd", 0):
+                continue
+            self.annotations.setdefault(ann["image_id"], []).append(ann)
+        self.ids = sorted(self.images)
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def get(self, index: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        image_id = self.ids[index]
+        info = self.images[image_id]
+        from PIL import Image
+
+        img = np.asarray(
+            Image.open(os.path.join(self.image_dir, info["file_name"])).convert("RGB")
+        )
+        anns = self.annotations.get(image_id, [])
+        boxes, classes = [], []
+        for a in anns:
+            x, y, w, h = a["bbox"]  # COCO xywh → xyxy
+            boxes.append([x, y, x + w, y + h])
+            classes.append(self.cat_to_contiguous[a["category_id"]])
+        return (
+            img,
+            np.asarray(boxes, np.float32).reshape(-1, 4),
+            np.asarray(classes, np.int32),
+        )
+
+
+def make_batches(
+    dataset,
+    batch_size: int,
+    preprocess: PreprocessConf,
+    max_gt_boxes: int = 100,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+) -> Iterator[Tuple[ImageBatch, GroundTruth]]:
+    """Host-side batcher: letterbox to the static canvas, pad GT.
+
+    Letterboxing happens here in numpy (the on-device fused path in
+    ``detax.ops.preprocess`` is used when images share one source shape, as
+    in serving); GT boxes are scaled into canvas coordinates.
+    """
+    import jax.numpy as jnp
+
+    size = preprocess.image_size
+    mean = np.asarray(preprocess.pixel_mean, np.float32)
+    std = np.asarray(preprocess.pixel_std, np.float32)
+    rng = np.random.RandomState(seed)
+    n = len(dataset)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(n)
+        for start in range(0, n - batch_size + 1, batch_size):
+            idxs = order[start : start + batch_size]
+            pixels = np.zeros((batch_size, size, size, 3), np.float32)
+            sizes = np.zeros((batch_size, 2), np.float32)
+            scales = np.zeros((batch_size,), np.float32)
+            boxes_list, classes_list = [], []
+            for bi, di in enumerate(idxs):
+                img, boxes, classes = dataset.get(int(di))
+                h0, w0 = img.shape[:2]
+                scale = min(size / h0, size / w0)
+                nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+                if (nh, nw) != (h0, w0):
+                    img = _resize_bilinear(img.astype(np.float32), nh, nw)
+                pixels[bi, :nh, :nw] = (img - mean) / std
+                sizes[bi] = (nh, nw)
+                scales[bi] = scale
+                boxes_list.append(boxes * scale)
+                classes_list.append(classes)
+            yield (
+                ImageBatch(
+                    pixels=jnp.asarray(pixels),
+                    image_sizes=jnp.asarray(sizes),
+                    scales=jnp.asarray(scales),
+                ),
+                GroundTruth.from_lists(boxes_list, classes_list, max_gt_boxes),
+            )
+        epoch += 1
+
+
+def _resize_bilinear(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    """Minimal host bilinear resize (PIL-free path for synthetic data)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(nh) + 0.5) * h / nh - 0.5
+    xs = (np.arange(nw) + 0.5) * w / nw - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    fy = np.clip(ys - y0, 0, 1)[:, None, None]
+    fx = np.clip(xs - x0, 0, 1)[None, :, None]
+    a = img[y0][:, x0]
+    b = img[y0][:, x1]
+    c = img[y1][:, x0]
+    d = img[y1][:, x1]
+    return a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx + c * fy * (1 - fx) + d * fy * fx

@@ -1,0 +1,71 @@
+"""Mesh / sharding tests on the virtual 8-device CPU mesh, including the
+full data-parallel train step (the same path dryrun_multichip exercises)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detax.dist.mesh import create_mesh, data_sharding, replicate, shard_batch
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_create_mesh_shapes():
+    mesh = create_mesh()
+    assert mesh.shape == {"data": 8, "spatial": 1}
+    mesh2 = create_mesh(data=4, spatial=2)
+    assert mesh2.shape == {"data": 4, "spatial": 2}
+    with pytest.raises(AssertionError):
+        create_mesh(data=3, spatial=2)
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = create_mesh()
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    sharded = shard_batch(mesh, {"x": x})["x"]
+    assert sharded.sharding.spec[0] == "data"
+    assert all(axis is None for axis in sharded.sharding.spec[1:])
+    np.testing.assert_allclose(np.asarray(sharded), x)
+
+
+def test_psum_over_mesh():
+    mesh = create_mesh()
+    x = jnp.arange(8, dtype=jnp.float32)
+    x = jax.device_put(x, data_sharding(mesh, 1))
+
+    @jax.jit
+    def total(v):
+        return jnp.sum(v)
+
+    assert float(total(x)) == 28.0
+
+
+def test_data_parallel_train_step_on_mesh(rng):
+    """Full FasterRCNN train step jitted over the 8-device mesh — gradients
+    all-reduce over the mesh; params stay replicated and in sync."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_spatial_sharding_forward(rng):
+    """Backbone forward with the image H dim sharded over the spatial axis
+    (conv halo exchange handled by XLA) must match the unsharded result."""
+    from detax.configs.resnet import ResNetConf
+    from detax.models.resnet import ResNet
+
+    mesh = create_mesh(data=2, spatial=4)
+    conf = ResNetConf(stage_blocks=(1, 1, 1, 1))
+    model = ResNet(conf=conf)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3), np.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    want = model.apply(params, x)["res4"]
+
+    xs = jax.device_put(x, data_sharding(mesh, 4, spatial_dim=1))
+    ps = jax.device_put(params, replicate(mesh))
+    got = jax.jit(lambda p, v: model.apply(p, v)["res4"])(ps, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)

@@ -1,0 +1,175 @@
+"""End-to-end model tests at tiny sizes (compile-friendly on CPU)."""
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from detax.configs import (
+    FasterRCNNConf,
+    FPNConf,
+    PreprocessConf,
+    ResNetConf,
+    RegionProposalNetworkConf,
+    RetinaNetConf,
+    ROIConf,
+    YOLOConf,
+)
+from detax.configs.roi import ROIPoolerConf, BoxHeadConf
+from detax.models import FPN, FasterRCNN, ResNet, RetinaNet, YOLO
+from detax.structures.detections import GroundTruth
+from detax.structures.image_batch import ImageBatch
+
+IMG = 64  # tiny canvas; all strides divide it
+
+
+def tiny_rcnn_conf():
+    return FasterRCNNConf(
+        backbone=FPNConf(bottom_up=ResNetConf(stage_blocks=(1, 1, 1, 1))),
+        rpn=RegionProposalNetworkConf(
+            pre_nms_topk=(64, 32), post_nms_topk=(32, 16), batch_size_per_image=32
+        ),
+        roi=ROIConf(
+            batch_size_per_image=16,
+            num_classes=7,
+            box_head=BoxHeadConf(num_fc=1, fc_dim=64),
+            box_pooler=ROIPoolerConf(output_size=(7, 7)),
+            detections_per_image=8,
+            pre_nms_candidates=64,
+        ),
+        preprocess=PreprocessConf(image_size=IMG),
+        max_gt_boxes=5,
+    )
+
+
+def tiny_gt(batch=2, g=5):
+    rng = np.random.RandomState(3)
+    boxes = []
+    classes = []
+    for _ in range(batch):
+        xy = rng.uniform(0, IMG / 2, (3, 2))
+        wh = rng.uniform(8, IMG / 2, (3, 2))
+        boxes.append(np.concatenate([xy, xy + wh], 1).clip(0, IMG))
+        classes.append(rng.randint(0, 7, 3))
+    return GroundTruth.from_lists(boxes, classes, g)
+
+
+@pytest.fixture(scope="module")
+def images():
+    rng = np.random.RandomState(0)
+    return ImageBatch.from_pixels(jnp.asarray(rng.randn(2, IMG, IMG, 3), jnp.float32))
+
+
+def test_resnet_shapes(images):
+    conf = ResNetConf(stage_blocks=(1, 1, 1, 1))
+    model = ResNet(conf=conf)
+    params = model.init(jax.random.PRNGKey(0), images.pixels)
+    out = model.apply(params, images.pixels)
+    assert set(out) == {"res1", "res2", "res3", "res4"}
+    for i, name in enumerate(["res1", "res2", "res3", "res4"]):
+        s = 4 * 2**i
+        assert out[name].shape == (2, IMG // s, IMG // s, 64 * 2**i), name
+
+
+def test_resnet50_bottleneck_shapes(images):
+    conf = ResNetConf(stage_blocks=(1, 1, 1, 1), bottleneck=True)
+    model = ResNet(conf=conf)
+    params = model.init(jax.random.PRNGKey(0), images.pixels)
+    out = model.apply(params, images.pixels)
+    assert out["res4"].shape == (2, IMG // 32, IMG // 32, 512 * 4)
+
+
+def test_resnet_classifier_head(images):
+    conf = ResNetConf(stage_blocks=(1, 1, 1, 1), num_classes=10)
+    model = ResNet(conf=conf)
+    params = model.init(jax.random.PRNGKey(0), images.pixels)
+    out = model.apply(params, images.pixels)
+    assert out["logits"].shape == (2, 10)
+
+
+def test_fpn_shapes(images):
+    conf = FPNConf(bottom_up=ResNetConf(stage_blocks=(1, 1, 1, 1)))
+    model = FPN(conf=conf)
+    params = model.init(jax.random.PRNGKey(0), images.pixels)
+    out = model.apply(params, images.pixels)
+    # reference contract: p1..p4 strides 4..32, p5 stride 64, all 64-channel
+    assert list(out) == ["p1", "p2", "p3", "p4", "p5"]
+    for name, stride in zip(["p1", "p2", "p3", "p4", "p5"], [4, 8, 16, 32, 64]):
+        assert out[name].shape == (2, IMG // stride, IMG // stride, 64), name
+
+
+def test_faster_rcnn_inference(images):
+    conf = tiny_rcnn_conf()
+    model = FasterRCNN(conf=conf)
+    params = model.init(jax.random.PRNGKey(0), images)
+    dets = jax.jit(lambda p, im: model.apply(p, im))(params, images)
+    assert dets.boxes.shape == (2, 8, 4)
+    assert dets.scores.shape == (2, 8)
+    assert np.all(np.isfinite(np.asarray(dets.boxes)))
+    # boxes inside canvas
+    b = np.asarray(dets.boxes)[np.asarray(dets.valid)]
+    if b.size:
+        assert b.min() >= 0 and b.max() <= IMG
+
+
+def test_faster_rcnn_train_forward(images):
+    conf = tiny_rcnn_conf()
+    model = FasterRCNN(conf=conf)
+    params = model.init(jax.random.PRNGKey(0), images)
+    gt = tiny_gt()
+
+    def loss_fn(p):
+        losses, metrics = model.apply(
+            p, images, gt, method=FasterRCNN.train_forward,
+            rngs={"sampling": jax.random.PRNGKey(7)},
+        )
+        return sum(losses.values()), (losses, metrics)
+
+    (total, (losses, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(total))
+    assert set(losses) == {"loss_rpn_cls", "loss_rpn_loc", "loss_cls", "loss_box_reg"}
+    assert "rpn/num_pos_anchors" in metrics and "roi_head/num_fg_samples" in metrics
+    # gradients flow and are finite
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert any(np.any(np.asarray(l) != 0) for l in leaves)
+
+
+def test_retinanet_forward(images):
+    conf = RetinaNetConf(
+        backbone=FPNConf(bottom_up=ResNetConf(stage_blocks=(1, 1, 1, 1)), out_channels=64),
+        num_classes=7,
+        topk_candidates=32,
+        detections_per_image=8,
+        preprocess=PreprocessConf(image_size=IMG),
+    )
+    model = RetinaNet(conf=conf)
+    params = model.init(jax.random.PRNGKey(0), images)
+    dets = model.apply(params, images)
+    assert dets.boxes.shape == (2, 8, 4)
+    losses, metrics = model.apply(params, images, tiny_gt(), method=RetinaNet.train_forward)
+    assert np.isfinite(float(sum(losses.values())))
+
+
+def test_yolo_forward(images):
+    conf = YOLOConf(
+        backbone=ResNetConf(stage_blocks=(1, 1, 1, 1)),
+        num_classes=7,
+        topk_candidates=32,
+        detections_per_image=8,
+        preprocess=PreprocessConf(image_size=IMG),
+    )
+    model = YOLO(conf=conf)
+    params = model.init(jax.random.PRNGKey(0), images)
+    dets = model.apply(params, images)
+    assert dets.boxes.shape == (2, 8, 4)
+    losses, metrics = model.apply(params, images, tiny_gt(), method=YOLO.train_forward)
+    assert np.isfinite(float(sum(losses.values())))
+
+
+def test_config_json_roundtrip(tmp_path):
+    conf = tiny_rcnn_conf()
+    path = str(tmp_path / "conf.json")
+    conf.save(path)
+    loaded = FasterRCNNConf.load(path)
+    assert loaded == conf

@@ -1,0 +1,119 @@
+"""Serving tier: native batcher, detection service, HTTP contract."""
+
+import dataclasses
+import json
+import threading
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from detax.serve.batcher import DynamicBatcher
+from detax.serve.server import DetectionService, decode_request, encode_request, serve
+from detax.configs.detector import PreprocessConf
+from detax.structures.detections import Detections
+
+
+def test_native_batcher_roundtrip():
+    b = DynamicBatcher(max_batch=4, batch_timeout_ms=10, item_bytes=64)
+
+    def runner():
+        served = 0
+        while served < 8:
+            ids, payloads = b.next_batch()
+            for i, rid in enumerate(ids):
+                b.post_result(rid, bytes(payloads[i][:5]) + b"-ok")
+                served += 1
+
+    t = threading.Thread(target=runner, daemon=True)
+    t.start()
+    results = {}
+
+    def client(k):
+        rid = b.submit(f"req{k:02d}".encode())
+        results[k] = b.wait_result(rid, 64)
+
+    threads = [threading.Thread(target=client, args=(k,)) for k in range(8)]
+    [x.start() for x in threads]
+    [x.join(timeout=30) for x in threads]
+    assert len(results) == 8
+    for k, v in results.items():
+        assert v == f"req{k:02d}".encode() + b"-ok"
+    assert b.completed() == 8
+    assert b.latency_percentile_ms(50) > 0
+    b.close()
+
+
+def test_batcher_coalesces():
+    b = DynamicBatcher(max_batch=8, batch_timeout_ms=200, item_bytes=16)
+    for k in range(8):
+        b.submit(bytes([k]))
+    ids, payloads = b.next_batch()
+    assert len(ids) == 8  # full batch collected in one pull
+    b.close()
+
+
+def test_request_codec(rng):
+    img = (rng.rand(17, 23, 3) * 255).astype(np.uint8)
+    payload = encode_request(img)
+    back = decode_request(np.frombuffer(payload, np.uint8))
+    np.testing.assert_array_equal(back, img)
+
+
+class _FakeModel:
+    """Stands in for a detector: returns one box per image scaled with the
+    input so coordinate mapping can be asserted."""
+
+    def apply(self, params, images):
+        b = images.pixels.shape[0]
+        boxes = jnp.tile(jnp.asarray([[10.0, 10.0, 20.0, 20.0]]), (b, 1))[:, None, :]
+        return Detections(
+            boxes=boxes,
+            scores=jnp.ones((b, 1)),
+            classes=jnp.zeros((b, 1), jnp.int32),
+            valid=jnp.ones((b, 1), bool),
+        )
+
+
+def test_detection_service_end_to_end(rng):
+    service = DetectionService(
+        _FakeModel(), params={}, preprocess_conf=PreprocessConf(image_size=32),
+        max_batch=2, batch_timeout_ms=5,
+    )
+    service.start()
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)  # scale = 0.5
+    out = service.detect(img)
+    assert out["scores"] == [1.0]
+    # canvas box /0.5 back to original coords
+    np.testing.assert_allclose(out["boxes"][0], [20, 20, 40, 40])
+    stats = service.stats()
+    assert stats["completed"] >= 1
+    assert stats["p50_ms"] > 0
+    service.stop()
+
+
+def test_http_contract(rng):
+    import http.client
+
+    service = DetectionService(
+        _FakeModel(), params={}, preprocess_conf=PreprocessConf(image_size=32),
+        max_batch=2, batch_timeout_ms=5,
+    )
+    service.start()
+    server = serve(service, port=18531)
+    try:
+        img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+        conn = http.client.HTTPConnection("127.0.0.1", 18531, timeout=30)
+        conn.request(
+            "POST", "/detect", body=img.tobytes(), headers={"X-Image-Shape": "32,32,3"}
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        data = json.loads(resp.read())
+        assert "boxes" in data and "scores" in data and "classes" in data
+        conn.request("GET", "/stats")
+        stats = json.loads(conn.getresponse().read())
+        assert stats["completed"] >= 1
+    finally:
+        server.shutdown()
+        service.stop()

@@ -1,0 +1,120 @@
+"""Training tier: augmentation, optimizer/frozen masking, mesh train step,
+checkpointing, synthetic data pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from detax.configs.detector import PreprocessConf
+from detax.structures.detections import GroundTruth
+from detax.structures.image_batch import ImageBatch
+from detax.train.augment import augment_batch, hflip
+from detax.train.coco import SyntheticCOCO, make_batches
+from detax.train.train_state import create_train_state, frozen_bn_mask, make_optimizer
+
+
+def _batch(rng, b=2, size=32):
+    pixels = jnp.asarray(rng.randn(b, size, size, 3), jnp.float32)
+    images = ImageBatch.from_pixels(pixels)
+    gt = GroundTruth.from_lists(
+        [np.array([[2.0, 4.0, 10.0, 12.0]], np.float32)] * b,
+        [np.array([1], np.int32)] * b,
+        capacity=4,
+    )
+    return images, gt
+
+
+def test_hflip_flips_pixels_and_boxes(rng):
+    images, gt = _batch(rng)
+    flipped, fgt = hflip(images, gt, jnp.asarray([True, False]))
+    w = 32
+    # pixels mirrored in image 0, untouched in image 1
+    np.testing.assert_allclose(
+        np.asarray(flipped.pixels[0]), np.asarray(images.pixels[0])[:, ::-1], atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(flipped.pixels[1]), np.asarray(images.pixels[1]))
+    assert np.asarray(fgt.boxes[0, 0]).tolist() == [w - 10, 4, w - 2, 12]
+    assert np.asarray(fgt.boxes[1, 0]).tolist() == [2, 4, 10, 12]
+
+
+def test_hflip_respects_valid_region(rng):
+    # letterboxed image: valid width 16 inside a 32 canvas
+    pixels = jnp.asarray(rng.randn(1, 32, 32, 3), jnp.float32)
+    images = ImageBatch(
+        pixels=pixels,
+        image_sizes=jnp.asarray([[32.0, 16.0]]),
+        scales=jnp.ones((1,)),
+    )
+    gt = GroundTruth.from_lists([np.array([[0.0, 0.0, 4.0, 4.0]], np.float32)], [[0]], 2)
+    flipped, fgt = hflip(images, gt, jnp.asarray([True]))
+    # box mirrors within the 16-wide valid region
+    assert np.asarray(fgt.boxes[0, 0]).tolist() == [12, 0, 16, 4]
+    # valid region content is the mirror of the original valid region
+    np.testing.assert_allclose(
+        np.asarray(flipped.pixels[0, :, :16]),
+        np.asarray(images.pixels[0, :, :16])[:, ::-1],
+        atol=1e-5,
+    )
+
+
+def test_augment_batch_runs(rng):
+    images, gt = _batch(rng)
+    out_images, out_gt = augment_batch(jax.random.PRNGKey(0), images, gt)
+    assert out_images.pixels.shape == images.pixels.shape
+    assert np.all(np.isfinite(np.asarray(out_images.pixels)))
+
+
+def test_frozen_bn_mask():
+    params = {
+        "params": {
+            "stem": {"conv": {"kernel": jnp.ones((3, 3, 3, 8))},
+                     "frozen_bn": {"weight": jnp.ones(8), "running_mean": jnp.zeros(8)}},
+        }
+    }
+    mask = frozen_bn_mask(params)
+    assert mask["params"]["stem"]["conv"]["kernel"] is True
+    assert mask["params"]["stem"]["frozen_bn"]["weight"] is False
+
+
+def test_optimizer_keeps_frozen_bn_constant():
+    params = {
+        "w": jnp.ones((4,)),
+        "frozen_bn": {"running_mean": jnp.zeros((4,))},
+    }
+    tx = make_optimizer(learning_rate=0.1, params=params)
+    state, tx2 = create_train_state(params, tx=tx)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state.opt_state, params)
+    new = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    assert not np.allclose(np.asarray(new["w"]), 1.0)
+    np.testing.assert_allclose(np.asarray(new["frozen_bn"]["running_mean"]), 0.0)
+
+
+def test_synthetic_coco_batches():
+    ds = SyntheticCOCO(num_images=8, image_size=64, num_classes=5)
+    it = make_batches(ds, batch_size=4, preprocess=PreprocessConf(image_size=64), max_gt_boxes=8)
+    images, gt = next(it)
+    assert images.pixels.shape == (4, 64, 64, 3)
+    assert gt.boxes.shape == (4, 8, 4)
+    assert np.asarray(gt.num_valid()).min() >= 1
+    # boxes inside canvas
+    v = np.asarray(gt.valid)
+    b = np.asarray(gt.boxes)[v]
+    assert b.min() >= 0 and b.max() <= 64
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from detax.train.checkpoint import CheckpointManager
+
+    params = {"w": jnp.arange(4, dtype=jnp.float32)}
+    state, tx = create_train_state(params, learning_rate=0.1)
+    state = jax.tree_util.tree_map(lambda x: x, state)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state, is_best=True, wait=True)
+    template = jax.tree_util.tree_map(jnp.zeros_like, state)
+    restored = mgr.restore(template)
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), np.arange(4))
+    best = mgr.restore_best(template)
+    np.testing.assert_allclose(np.asarray(best.params["w"]), np.arange(4))
+    mgr.close()
