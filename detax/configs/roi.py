@@ -69,3 +69,4 @@ class ROIConf(BaseConf):
     # static cap on (proposal, class) candidates entering final NMS — the
     # TPU replacement for the reference's dynamic score-threshold filtering
     pre_nms_candidates: int = 1000
+    nms_impl: str = "xla"  # "xla" | "pallas" (see RegionProposalNetworkConf)

@@ -66,3 +66,6 @@ class RegionProposalNetworkConf(BaseConf):
     box_reg_loss_type: str = "smooth_l1"
     smooth_l1_beta: float = 0.0
     in_features: Tuple[str, ...] = ("p1", "p2", "p3", "p4", "p5")
+    # "xla" (lax.scan greedy, runs everywhere) | "pallas" (blocked TPU kernel,
+    # per-level batched — the fast path; interpreter-mode on CPU)
+    nms_impl: str = "xla"

@@ -237,6 +237,25 @@ def fast_rcnn_inference(
     cand_classes = jnp.take_along_axis(flat_classes, cand_idx, axis=1)
     cand_valid = cand_scores > -jnp.inf
 
+    if conf.nms_impl == "pallas":
+        # candidates arrive score-sorted from top_k → one batched kernel call,
+        # then the first detections_per_image kept entries (already in score
+        # order) selected via a position sort
+        from detax.ops.nms_pallas import batch_class_aware_keep
+
+        keep = batch_class_aware_keep(
+            cand_boxes, cand_scores, cand_classes, conf.nms_thresh, cand_valid
+        )
+        pos = jnp.arange(k)[None, :]
+        key = jnp.where(keep, pos, k)
+        top = jnp.sort(key, axis=1)[:, : conf.detections_per_image]
+        ok = top < k
+        safe = jnp.where(ok, top, 0)
+        db = jnp.take_along_axis(cand_boxes, safe[..., None], axis=1)
+        ds = jnp.take_along_axis(cand_scores, safe, axis=1)
+        dc = jnp.take_along_axis(cand_classes, safe, axis=1)
+        return Detections(boxes=db, scores=jnp.where(ok, ds, 0.0), classes=dc, valid=ok)
+
     def per_image(bx, sc, cl, v):
         idx, ok = batched_nms(bx, sc, cl, conf.nms_thresh, conf.detections_per_image, valid=v)
         return jnp.take(bx, idx, axis=0), jnp.take(sc, idx), jnp.take(cl, idx), ok

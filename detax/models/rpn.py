@@ -97,10 +97,11 @@ def predict_proposals(
     pre_k = conf.pre_nms_topk[0] if train else conf.pre_nms_topk[1]
     post_k = conf.post_nms_topk[0] if train else conf.post_nms_topk[1]
 
-    top_boxes, top_scores, top_levels = [], [], []
+    top_boxes, top_scores, top_levels, top_valid = [], [], [], []
     for lvl, (anch, lg, dl) in enumerate(zip(anchors, logits, deltas)):
         k = min(pre_k, lg.shape[-1])
-        # top-k *before* decode: only k boxes ever get decoded
+        # top-k *before* decode: only k boxes ever get decoded; lax.top_k
+        # returns score-descending order (needed by the Pallas NMS path)
         sc, idx = jax.lax.top_k(lg, k)  # (B, k)
         sel_deltas = jnp.take_along_axis(dl, idx[..., None], axis=1)  # (B, k, 4)
         sel_anchors = jnp.take(anch, idx, axis=0)  # (B, k, 4)
@@ -110,20 +111,45 @@ def predict_proposals(
             conf.box2box_transform.weights,
             conf.box2box_transform.scale_clamp,
         )
+        # clip to the per-image valid region (reference models/utils.py:86);
+        # finite + min-size filters become a validity mask
+        bx = box_ops.clip(bx, image_sizes[:, 0:1], image_sizes[:, 1:2])
+        valid = (
+            jnp.all(jnp.isfinite(bx), axis=-1)
+            & jnp.isfinite(sc)
+            & box_ops.nonempty(bx, conf.min_box_size)
+        )
         top_boxes.append(bx)
         top_scores.append(sc)
         top_levels.append(jnp.full(sc.shape, lvl, jnp.int32))
+        top_valid.append(valid)
+
+    if conf.nms_impl == "pallas":
+        # Per-level NMS keep masks (boxes of different levels never suppress
+        # each other — the level-offset trick of the reference is equivalent
+        # to per-level passes), whole batch per kernel call, then one global
+        # top-k over the kept candidates' scores.
+        from detax.ops.nms_pallas import nms_keep_sorted_batched
+
+        keeps = [
+            nms_keep_sorted_batched(b, v, conf.nms_thresh)
+            for b, v in zip(top_boxes, top_valid)
+        ]
+        boxes = jnp.concatenate(top_boxes, axis=1)
+        scores = jnp.concatenate(top_scores, axis=1)
+        levels = jnp.concatenate(top_levels, axis=1)
+        kept = jnp.concatenate(keeps, axis=1)
+        gated = jnp.where(kept, scores, -jnp.inf)
+        ps, top_idx = jax.lax.top_k(gated, post_k)  # (B, post_k)
+        pb = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+        plvl = jnp.take_along_axis(levels, top_idx, axis=1)
+        ok = ps > -jnp.inf
+        return Detections(boxes=pb, scores=jnp.where(ok, ps, -jnp.inf), classes=plvl, valid=ok)
 
     boxes = jnp.concatenate(top_boxes, axis=1)  # (B, K, 4)
     scores = jnp.concatenate(top_scores, axis=1)
     levels = jnp.concatenate(top_levels, axis=1)
-
-    # clip to the per-image valid region (reference models/utils.py:86)
-    boxes = box_ops.clip(boxes, image_sizes[:, 0:1], image_sizes[:, 1:2])
-    # finite + min-size filters become a validity mask
-    finite = jnp.all(jnp.isfinite(boxes), axis=-1) & jnp.isfinite(scores)
-    nonempty = box_ops.nonempty(boxes, conf.min_box_size)
-    valid = finite & nonempty
+    valid = jnp.concatenate(top_valid, axis=1)
 
     def per_image(b, s, lv, v):
         idx, ok = batched_nms(b, s, lv, conf.nms_thresh, post_k, valid=v)

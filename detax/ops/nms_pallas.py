@@ -3,22 +3,29 @@
 Replaces the torchvision C++/CUDA ``nms`` kernel the reference depends on
 (``python/src/utils.py:96-119``) with a TPU-native kernel. The XLA reference
 implementation (``detax.ops.nms.nms_select``) runs one argmax+suppress step
-per *output* box through ``lax.scan`` — each step is a separate dispatched
-op. This kernel instead runs the whole greedy pass inside one ``pallas_call``
-with everything resident in VMEM:
+per *output* box through ``lax.scan``; on TPU each while-loop iteration has
+fixed overhead, which dominates at 1000 outputs. This kernel instead runs the
+whole greedy pass for the **entire batch** inside one ``pallas_call`` with
+everything resident in VMEM:
 
-- boxes arrive score-sorted (XLA sort outside the kernel), as four
-  coordinate planes ``(4, N)`` so each plane is lane-contiguous;
-- blocks of 128 boxes are processed in order: an in-block sequential pass
-  (128 tiny VPU steps on registers) resolves the triangular dependency, then
-  one vectorized sweep suppresses all later blocks at once;
-- total sequential depth is N (like greedy), but every step is an in-kernel
-  VPU op on 128-wide vectors with zero dispatch overhead, and the cross-block
-  work is fully vectorized 128×128 tiles.
+- boxes arrive score-sorted per image (``lax.top_k`` outputs already are),
+  as coordinate planes ``(B, 4, N)`` so lanes are contiguous along N;
+- blocks of 128 boxes are processed in score order: an in-block sequential
+  pass (128 VPU steps on ``(B, 128)`` vectors) resolves the triangular
+  dependency, then one vectorized ``(B, 128, 128)`` sweep per later block
+  applies the suppression forward — the sweep is skipped entirely when the
+  current block kept nothing;
+- total sequential depth is N (greedy's inherent depth), but every step is
+  an in-kernel VPU op on the whole batch with zero dispatch overhead.
 
 Exactness: identical keep-set to ``suppression_mask`` / torchvision greedy
 NMS (suppress IoU strictly greater than threshold), verified in
-``tests/test_nms_pallas.py``.
+``tests/test_nms_pallas.py``. Runs in interpreter mode automatically on
+non-TPU backends so the same call sites work in CPU tests.
+
+VMEM budget: coords ``(B,4,N)`` f32 + keep/valid ``(B,N)`` + two
+``(B,128,128)`` tiles — for B=32 this caps N at ~8k per call; callers run
+per-level (levels never suppress each other), which also shrinks N.
 """
 
 from __future__ import annotations
@@ -36,79 +43,85 @@ BLOCK = 128
 
 
 def _nms_kernel(thresh_ref, coords_ref, valid_ref, keep_ref):
-    """coords: (4, N) [x1, y1, x2, y2] score-sorted; valid: (1, N) f32;
-    keep out: (1, N) f32."""
-    n = coords_ref.shape[1]
-    nb = n // BLOCK
+    """coords: (B, 4, N) [x1,y1,x2,y2], score-sorted along N per image;
+    valid: (B, N) f32; keep out: (B, N) f32.
+
+    Per 128-block: the triangular in-block dependency is resolved by
+    fixed-point iteration of the suppression operator
+    ``F(k)[i] = entry[i] & !any_{j<i}(k[j] & iou[j,i] > t)`` — after sweep s
+    the first s rows are permanently correct, so the unique fixpoint is the
+    exact greedy solution and the while_loop terminates in ≤128 sweeps
+    (typically a handful). Pallas TPU has no value-space dynamic_slice, which
+    rules out the naive one-row-at-a-time loop.
+    """
+    nb = coords_ref.shape[2] // BLOCK
     thresh = thresh_ref[0]
 
-    x1 = coords_ref[0, :]
-    y1 = coords_ref[1, :]
-    x2 = coords_ref[2, :]
-    y2 = coords_ref[3, :]
-    area = (x2 - x1) * (y2 - y1)
+    keep_ref[:, :] = valid_ref[:, :]
 
-    keep_ref[0, :] = valid_ref[0, :]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+    earlier = (row_ids < col_ids).astype(jnp.float32)[None]  # j strictly before i
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+    def load_block(base):
+        x1 = coords_ref[:, 0, pl.ds(base, BLOCK)]
+        y1 = coords_ref[:, 1, pl.ds(base, BLOCK)]
+        x2 = coords_ref[:, 2, pl.ds(base, BLOCK)]
+        y2 = coords_ref[:, 3, pl.ds(base, BLOCK)]
+        return x1, y1, x2, y2, (x2 - x1) * (y2 - y1)
 
-    def block_iou(bx1, by1, bx2, by2, barea, cx1, cy1, cx2, cy2, carea):
-        """IoU of block rows (128,) vs block cols (128,) → (128, 128)."""
-        lt_x = jnp.maximum(bx1[:, None], cx1[None, :])
-        lt_y = jnp.maximum(by1[:, None], cy1[None, :])
-        rb_x = jnp.minimum(bx2[:, None], cx2[None, :])
-        rb_y = jnp.minimum(by2[:, None], cy2[None, :])
+    def block_iou(cur, other):
+        """(B,128) planes → (B,128,128) IoU of cur rows vs other cols."""
+        (ax1, ay1, ax2, ay2, aa) = cur
+        (bx1, by1, bx2, by2, ba) = other
+        lt_x = jnp.maximum(ax1[:, :, None], bx1[:, None, :])
+        lt_y = jnp.maximum(ay1[:, :, None], by1[:, None, :])
+        rb_x = jnp.minimum(ax2[:, :, None], bx2[:, None, :])
+        rb_y = jnp.minimum(ay2[:, :, None], by2[:, None, :])
         iw = jnp.maximum(rb_x - lt_x, 0.0)
         ih = jnp.maximum(rb_y - lt_y, 0.0)
         inter = iw * ih
-        union = barea[:, None] + carea[None, :] - inter
+        union = aa[:, :, None] + ba[:, None, :] - inter
         return jnp.where(inter > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
-
-    dslice = lambda v, start: jax.lax.dynamic_slice_in_dim(v, start, BLOCK)
 
     def outer(bi, _):
         base = pl.multiple_of(bi * BLOCK, BLOCK)
-        bx1 = dslice(x1, base)
-        by1 = dslice(y1, base)
-        bx2 = dslice(x2, base)
-        by2 = dslice(y2, base)
-        barea = dslice(area, base)
-        ck = keep_ref[0, pl.ds(base, BLOCK)]
+        cur = load_block(base)
+        entry = keep_ref[:, pl.ds(base, BLOCK)]  # (B,128), pruned by earlier blocks
 
-        iou_blk = block_iou(bx1, by1, bx2, by2, barea, bx1, by1, bx2, by2, barea)
-        sup_blk = (iou_blk > thresh).astype(jnp.float32)
+        # suppression adjacency within the block, rows=j (suppressor),
+        # cols=i (suppressed), only j<i active
+        sup = (block_iou(cur, cur) > thresh).astype(jnp.float32) * earlier
 
-        def inner(r, ck):
-            # kr = ck[r]; row_r = sup_blk[r, :]; suppress cols > r
-            sel = (row == r).astype(jnp.float32)
-            kr = jnp.sum(ck * sel[:, 0])  # ck[r] via masked reduce (no gather)
-            row_r = jnp.sum(sup_blk * sel, axis=0)
-            later = (jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)[:, 0] > r).astype(
-                jnp.float32
-            )
-            return ck * (1.0 - kr * row_r * later)
+        def cond(carry):
+            _, changed = carry
+            return changed
 
-        ck = jax.lax.fori_loop(0, BLOCK, inner, ck)
-        keep_ref[0, pl.ds(base, BLOCK)] = ck
+        def body(carry):
+            ck, _ = carry
+            suppressed = jnp.max(ck[:, :, None] * sup, axis=1)  # (B,128)
+            nk = entry * (1.0 - suppressed)
+            return nk, jnp.any(nk != ck)
 
-        def later_blocks(bj, _):
-            base_j = pl.multiple_of(bj * BLOCK, BLOCK)
-            cx1 = dslice(x1, base_j)
-            cy1 = dslice(y1, base_j)
-            cx2 = dslice(x2, base_j)
-            cy2 = dslice(y2, base_j)
-            carea = dslice(area, base_j)
-            iou_cross = block_iou(bx1, by1, bx2, by2, barea, cx1, cy1, cx2, cy2, carea)
-            suppressed = jnp.max(
-                (iou_cross > thresh).astype(jnp.float32) * ck[:, None], axis=0
-            )
-            keep_ref[0, pl.ds(base_j, BLOCK)] = keep_ref[0, pl.ds(base_j, BLOCK)] * (
-                1.0 - suppressed
-            )
-            return 0
+        ck, _ = jax.lax.while_loop(cond, body, (entry, jnp.bool_(True)))
+        keep_ref[:, pl.ds(base, BLOCK)] = ck
 
-        jax.lax.fori_loop(bi + 1, nb, later_blocks, 0)
+        @pl.when(jnp.sum(ck) > 0.0)
+        def _():
+            def later_blocks(bj, _):
+                base_j = pl.multiple_of(bj * BLOCK, BLOCK)
+                other = load_block(base_j)
+                iou_cross = block_iou(cur, other)  # (B, 128cur, 128later)
+                suppressed = jnp.max(
+                    (iou_cross > thresh).astype(jnp.float32) * ck[:, :, None], axis=1
+                )  # (B, 128)
+                keep_ref[:, pl.ds(base_j, BLOCK)] = keep_ref[:, pl.ds(base_j, BLOCK)] * (
+                    1.0 - suppressed
+                )
+                return 0
+
+            jax.lax.fori_loop(bi + 1, nb, later_blocks, 0)
+
         return 0
 
     jax.lax.fori_loop(0, nb, outer, 0)
@@ -118,29 +131,36 @@ def _pad_to_block(n: int) -> int:
     return ((n + BLOCK - 1) // BLOCK) * BLOCK
 
 
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
-def nms_keep_sorted(
+def nms_keep_sorted_batched(
     boxes_sorted: Array,
     valid_sorted: Array,
     iou_threshold: float,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> Array:
-    """Greedy-NMS keep mask over score-sorted ``(N, 4)`` boxes (Pallas).
+    """Greedy-NMS keep mask over score-sorted ``(B, N, 4)`` boxes (Pallas).
 
-    Returns an ``(N,)`` bool mask. ``N`` is padded to a multiple of 128
-    internally.
+    Returns a ``(B, N)`` bool mask. N is padded to a multiple of 128
+    internally. Boxes must be sorted by descending score along N per image
+    (``lax.top_k`` output order).
     """
-    n = boxes_sorted.shape[0]
+    if interpret is None:
+        interpret = _use_interpret()
+    b, n = boxes_sorted.shape[0], boxes_sorted.shape[1]
     n_pad = _pad_to_block(n)
-    coords = jnp.swapaxes(boxes_sorted.astype(jnp.float32), -1, -2)  # (4, N)
+    coords = jnp.swapaxes(boxes_sorted.astype(jnp.float32), -1, -2)  # (B, 4, N)
     if n_pad != n:
-        coords = jnp.pad(coords, ((0, 0), (0, n_pad - n)))
-        valid_sorted = jnp.pad(valid_sorted, (0, n_pad - n))
-    valid_f = valid_sorted.astype(jnp.float32)[None, :]
+        coords = jnp.pad(coords, ((0, 0), (0, 0), (0, n_pad - n)))
+        valid_sorted = jnp.pad(valid_sorted, ((0, 0), (0, n_pad - n)))
+    valid_f = valid_sorted.astype(jnp.float32)
 
     keep = pl.pallas_call(
         _nms_kernel,
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -149,7 +169,19 @@ def nms_keep_sorted(
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(jnp.asarray([iou_threshold], jnp.float32), coords, valid_f)
-    return keep[0, :n] > 0.5
+    return keep[:, :n] > 0.5
+
+
+def nms_keep_sorted(
+    boxes_sorted: Array,
+    valid_sorted: Array,
+    iou_threshold: float,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """Single-image ``(N, 4)`` variant of :func:`nms_keep_sorted_batched`."""
+    return nms_keep_sorted_batched(
+        boxes_sorted[None], valid_sorted[None], iou_threshold, interpret=interpret
+    )[0]
 
 
 def nms_select_pallas(
@@ -158,7 +190,7 @@ def nms_select_pallas(
     iou_threshold: float,
     max_out: int,
     valid: Optional[Array] = None,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> Tuple[Array, Array]:
     """Drop-in for :func:`detax.ops.nms.nms_select` backed by the kernel.
 
@@ -172,7 +204,6 @@ def nms_select_pallas(
     sorted_valid = jnp.take(s, order) > -jnp.inf
     keep_sorted = nms_keep_sorted(sorted_boxes, sorted_valid, iou_threshold, interpret=interpret)
 
-    # positions of kept entries, in score order
     pos = jnp.arange(n)
     key = jnp.where(keep_sorted, pos, n)
     top = jnp.sort(key)[:max_out]
@@ -188,9 +219,10 @@ def batched_nms_pallas(
     iou_threshold: float,
     max_out: int,
     valid: Optional[Array] = None,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> Tuple[Array, Array]:
-    """Class/level-aware variant via the coordinate-offset trick."""
+    """Class/level-aware variant via the coordinate-offset trick
+    (reference ``batched_nms``, ``utils.py:96-119``)."""
     if valid is not None:
         safe = jnp.where(valid[:, None], boxes, 0.0)
     else:
@@ -200,3 +232,21 @@ def batched_nms_pallas(
     return nms_select_pallas(
         boxes + offsets[:, None], scores, iou_threshold, max_out, valid=valid, interpret=interpret
     )
+
+
+def batch_class_aware_keep(
+    boxes: Array,
+    scores_sorted: Array,
+    classes: Array,
+    iou_threshold: float,
+    valid: Array,
+    interpret: Optional[bool] = None,
+) -> Array:
+    """Keep mask for a score-sorted ``(B, N, 4)`` candidate set with class
+    ids ``(B, N)`` — class-aware via coordinate offsets, whole batch in one
+    kernel call. Used by the detectors' final NMS."""
+    safe = jnp.where(valid[..., None], boxes, 0.0)
+    max_coordinate = jnp.max(safe)
+    offsets = classes.astype(boxes.dtype) * (max_coordinate + 1.0)
+    shifted = boxes + offsets[..., None]
+    return nms_keep_sorted_batched(shifted, valid, iou_threshold, interpret=interpret)

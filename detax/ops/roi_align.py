@@ -204,6 +204,7 @@ def multiscale_roi_align(
     aligned: bool = True,
     canonical_box_size: int = 224,
     canonical_level: int = 4,
+    chunk_size: int = 256,
 ) -> Array:
     """Multi-level ROIAlign over FPN features (reference ``ROIPooler.forward``).
 
@@ -224,6 +225,7 @@ def multiscale_roi_align(
     assert len(features) == len(strides)
     b, r_boxes = boxes.shape[0], boxes.shape[1]
     c = features[0].shape[-1]
+    dtype = features[0].dtype  # gathers/interp stay in feature dtype (bf16 hot path)
     ph, pw = output_size
     r = sampling_ratio
     levels = [int(math.log2(s)) for s in strides]
@@ -236,37 +238,23 @@ def multiscale_roi_align(
     offsets = jnp.array([sum(sizes[:i]) for i in range(len(sizes))], jnp.int32)
     scales = jnp.array([1.0 / s for s in strides], jnp.float32)
 
-    flat = jnp.concatenate([f.reshape(b, -1, c) for f in features], axis=1)  # (B, S, C)
+    # Quad layout: pack each cell's 2x2 neighborhood (edge-replicated) into
+    # one 4C-wide row, so all four bilinear neighbors of a sample point come
+    # from ONE row gather. TPU gather cost is per-row and independent of row
+    # width (measured), so this is a 4x cut of the op's bottleneck. The
+    # replicated edge values only ever meet zero interpolation weights
+    # (torchvision's at-edge convention zeroes the high-side fraction).
+    def quad(f):
+        fr = jnp.pad(f, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="edge")
+        return jnp.concatenate(
+            [fr[:, :-1, :-1], fr[:, :-1, 1:], fr[:, 1:, :-1], fr[:, 1:, 1:]], axis=-1
+        )
 
-    lvl = assign_boxes_to_levels(boxes, min_level, max_level, canonical_box_size, canonical_level)
-    lvl_idx = lvl - min_level  # (B, R) in [0, L)
-
-    box_scale = jnp.take(scales, lvl_idx)  # (B, R)
-    box_h = jnp.take(heights, lvl_idx)
-    box_w = jnp.take(widths, lvl_idx)
-    box_off = jnp.take(offsets, lvl_idx)
-
-    offset = 0.5 if aligned else 0.0
-    x1 = boxes[..., 0] * box_scale - offset
-    y1 = boxes[..., 1] * box_scale - offset
-    x2 = boxes[..., 2] * box_scale - offset
-    y2 = boxes[..., 3] * box_scale - offset
-    roi_w, roi_h = x2 - x1, y2 - y1
-    if not aligned:
-        roi_w = jnp.maximum(roi_w, 1.0)
-        roi_h = jnp.maximum(roi_h, 1.0)
-    bin_h = roi_h / ph
-    bin_w = roi_w / pw
+    flat = jnp.concatenate([quad(f).reshape(b, -1, 4 * c) for f in features], axis=1)
 
     sub = (jnp.arange(r, dtype=jnp.float32) + 0.5) / r
     grid_y = (jnp.arange(ph, dtype=jnp.float32)[:, None] + sub[None, :]).reshape(-1)  # (ph*r,)
     grid_x = (jnp.arange(pw, dtype=jnp.float32)[:, None] + sub[None, :]).reshape(-1)
-    ys = y1[..., None] + bin_h[..., None] * grid_y  # (B, R, ph*r)
-    xs = x1[..., None] + bin_w[..., None] * grid_x  # (B, R, pw*r)
-
-    # Like _bilinear_weights, but the clamp size varies per box (its level).
-    h_f = box_h[..., None].astype(jnp.float32)
-    w_f = box_w[..., None].astype(jnp.float32)
 
     def axis_weights(coord, size_f, size_i):
         in_range = (coord >= -1.0) & (coord <= size_f)
@@ -279,24 +267,71 @@ def multiscale_roi_align(
         frac = cc - low.astype(cc.dtype)
         return low, high, 1.0 - frac, frac, in_range
 
-    yl, yh, wyl, wyh, y_ok = axis_weights(ys, h_f, box_h)
-    xl, xh, wxl, wxh, x_ok = axis_weights(xs, w_f, box_w)
+    def pool(boxes_chunk: Array) -> Array:
+        """(B, Rc, 4) → (B, Rc, ph, pw, C); memory ∝ Rc."""
+        rc = boxes_chunk.shape[1]
+        lvl = assign_boxes_to_levels(
+            boxes_chunk, min_level, max_level, canonical_box_size, canonical_level
+        )
+        lvl_idx = lvl - min_level  # (B, Rc)
+        box_scale = jnp.take(scales, lvl_idx)
+        box_h = jnp.take(heights, lvl_idx)
+        box_w = jnp.take(widths, lvl_idx)
+        box_off = jnp.take(offsets, lvl_idx)
 
-    def gather(yi, xi):
-        idx = box_off[..., None, None] + yi[..., :, None] * box_w[..., None, None] + xi[..., None, :]
-        idx = idx.reshape(b, -1)  # (B, R*ph*r*pw*r)
-        out = jnp.take_along_axis(flat, idx[..., None], axis=1)
-        return out.reshape(b, r_boxes, ph * r, pw * r, c)
+        offset = 0.5 if aligned else 0.0
+        x1 = boxes_chunk[..., 0] * box_scale - offset
+        y1 = boxes_chunk[..., 1] * box_scale - offset
+        x2 = boxes_chunk[..., 2] * box_scale - offset
+        y2 = boxes_chunk[..., 3] * box_scale - offset
+        roi_w, roi_h = x2 - x1, y2 - y1
+        if not aligned:
+            roi_w = jnp.maximum(roi_w, 1.0)
+            roi_h = jnp.maximum(roi_h, 1.0)
+        bin_h = roi_h / ph
+        bin_w = roi_w / pw
 
-    wy_l = (wyl * y_ok)[..., :, None]
-    wy_h = (wyh * y_ok)[..., :, None]
-    wx_l = (wxl * x_ok)[..., None, :]
-    wx_h = (wxh * x_ok)[..., None, :]
-    out = (
-        gather(yl, xl) * (wy_l * wx_l)[..., None]
-        + gather(yl, xh) * (wy_l * wx_h)[..., None]
-        + gather(yh, xl) * (wy_h * wx_l)[..., None]
-        + gather(yh, xh) * (wy_h * wx_h)[..., None]
-    )
-    out = out.reshape(b, r_boxes, ph, r, pw, r, c)
-    return out.mean(axis=(3, 5))
+        ys = y1[..., None] + bin_h[..., None] * grid_y  # (B, Rc, ph*r)
+        xs = x1[..., None] + bin_w[..., None] * grid_x  # (B, Rc, pw*r)
+        h_f = box_h[..., None].astype(jnp.float32)
+        w_f = box_w[..., None].astype(jnp.float32)
+        yl, yh, wyl, wyh, y_ok = axis_weights(ys, h_f, box_h)
+        xl, xh, wxl, wxh, x_ok = axis_weights(xs, w_f, box_w)
+
+        # one row gather per sample point fetches all 4 neighbors (quad rows)
+        idx = (
+            box_off[..., None, None]
+            + yl[..., :, None] * box_w[..., None, None]
+            + xl[..., None, :]
+        ).reshape(b, -1)
+        # NOTE: jnp.take (row gather), not take_along_axis — the latter
+        # broadcasts indices over channels and lowers to per-ELEMENT gathers.
+        g = jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(flat, idx)
+        g = g.reshape(b, rc, ph * r, pw * r, 4, c)
+
+        wy_l = ((wyl * y_ok)[..., :, None]).astype(dtype)
+        wy_h = ((wyh * y_ok)[..., :, None]).astype(dtype)
+        wx_l = ((wxl * x_ok)[..., None, :]).astype(dtype)
+        wx_h = ((wxh * x_ok)[..., None, :]).astype(dtype)
+        out = (
+            g[..., 0, :] * (wy_l * wx_l)[..., None]
+            + g[..., 1, :] * (wy_l * wx_h)[..., None]
+            + g[..., 2, :] * (wy_h * wx_l)[..., None]
+            + g[..., 3, :] * (wy_h * wx_h)[..., None]
+        )
+        out = out.reshape(b, rc, ph, r, pw, r, c)
+        return out.mean(axis=(3, 5), dtype=dtype)
+
+    if not chunk_size or r_boxes <= chunk_size:
+        return pool(boxes)
+
+    # Chunk the proposal dim with a sequential lax.map: peak memory drops by
+    # R/chunk_size (the four bilinear gathers dominate ROI-stage memory at
+    # inference: B×R×(ph·r)×(pw·r)×C would not fit HBM unchunked at R=1000).
+    n_chunks = -(-r_boxes // chunk_size)
+    pad = n_chunks * chunk_size - r_boxes
+    padded = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
+    chunks = jnp.moveaxis(padded.reshape(b, n_chunks, chunk_size, 4), 1, 0)
+    pooled = jax.lax.map(pool, chunks)  # (n_chunks, B, chunk, ph, pw, C)
+    pooled = jnp.moveaxis(pooled, 0, 1).reshape(b, n_chunks * chunk_size, ph, pw, c)
+    return pooled[:, :r_boxes]
