@@ -42,10 +42,19 @@ def main() -> None:
     from detax.models import FasterRCNN
     from detax.structures.image_batch import ImageBatch
 
+    # TPU serving profile: Pallas NMS, 1000/level pre-NMS, the original
+    # Faster R-CNN test-time 300 proposals, sampling_ratio 1 (quality-
+    # equivalent standard settings; reference *defaults* stay on the exact
+    # parity path)
     base = FasterRCNNConf(preprocess=PreprocessConf(image_size=SIZE))
     conf = base.replace(
-        rpn=base.rpn.replace(pre_nms_topk=(2000, 1000), nms_impl="pallas"),
-        roi=base.roi.replace(nms_impl="pallas"),
+        rpn=base.rpn.replace(
+            pre_nms_topk=(2000, 1000), post_nms_topk=(2000, 300), nms_impl="pallas"
+        ),
+        roi=base.roi.replace(
+            nms_impl="pallas",
+            box_pooler=base.roi.box_pooler.replace(sampling_ratio=1),
+        ),
     )
     model = FasterRCNN(conf=conf, dtype=jnp.bfloat16)
 

@@ -56,3 +56,4 @@ class RetinaNetConf(BaseConf):
     topk_candidates: int = 1000  # per level, pre-NMS
     detections_per_image: int = 100
     max_gt_boxes: int = 100
+    nms_impl: str = "xla"  # "xla" | "pallas" (see RegionProposalNetworkConf)

@@ -35,6 +35,8 @@ class ROIPoolerConf(BaseConf):
     canonical_level: int = 4
     # reference default 0 = adaptive (dynamic shape); detax fixes it at 2
     sampling_ratio: int = 2
+    # "xla" gather path | "pallas" window-DMA kernel (TPU hot path)
+    impl: str = "xla"
 
 
 @register_conf

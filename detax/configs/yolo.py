@@ -39,6 +39,7 @@ class YOLOConf(BaseConf):
     topk_candidates: int = 1000  # per level, pre-NMS
     detections_per_image: int = 100
     max_gt_boxes: int = 100
+    nms_impl: str = "xla"  # "xla" | "pallas" (per-level Pallas NMS path)
     obj_loss_weight: float = 1.0
     cls_loss_weight: float = 1.0
     box_loss_weight: float = 5.0

@@ -31,7 +31,7 @@ from detax.nn.box_head import FastRCNNConvFCHead, FastRCNNOutputLayers
 from detax.ops import box_transform
 from detax.ops.losses import smooth_l1, softmax_cross_entropy
 from detax.ops.matcher import match
-from detax.ops.nms import batched_nms
+from detax.ops.nms import multiclass_nms
 from detax.ops.roi_align import multiscale_roi_align
 from detax.ops.sampling import subsample_labels
 from detax.structures import boxes as box_ops
@@ -71,6 +71,30 @@ def pool_features(
     feats = [features[f] for f in conf.in_features]
     strides = [feature_strides[f] for f in conf.in_features]
     p = conf.box_pooler
+    if p.impl == "pallas" and p.type == "ROIAlignV2":
+        from detax.ops.roi_align_pallas import multiscale_roi_align_pallas
+
+        return multiscale_roi_align_pallas(
+            feats,
+            boxes,
+            strides,
+            output_size=p.output_size,
+            sampling_ratio=p.sampling_ratio,
+            canonical_box_size=p.canonical_box_size,
+            canonical_level=p.canonical_level,
+        )
+    if p.impl == "window" and p.type == "ROIAlignV2":
+        from detax.ops.roi_align import multiscale_roi_align_window
+
+        return multiscale_roi_align_window(
+            feats,
+            boxes,
+            strides,
+            output_size=p.output_size,
+            sampling_ratio=p.sampling_ratio,
+            canonical_box_size=p.canonical_box_size,
+            canonical_level=p.canonical_level,
+        )
     return multiscale_roi_align(
         feats,
         boxes,
@@ -237,28 +261,13 @@ def fast_rcnn_inference(
     cand_classes = jnp.take_along_axis(flat_classes, cand_idx, axis=1)
     cand_valid = cand_scores > -jnp.inf
 
-    if conf.nms_impl == "pallas":
-        # candidates arrive score-sorted from top_k → one batched kernel call,
-        # then the first detections_per_image kept entries (already in score
-        # order) selected via a position sort
-        from detax.ops.nms_pallas import batch_class_aware_keep
-
-        keep = batch_class_aware_keep(
-            cand_boxes, cand_scores, cand_classes, conf.nms_thresh, cand_valid
-        )
-        pos = jnp.arange(k)[None, :]
-        key = jnp.where(keep, pos, k)
-        top = jnp.sort(key, axis=1)[:, : conf.detections_per_image]
-        ok = top < k
-        safe = jnp.where(ok, top, 0)
-        db = jnp.take_along_axis(cand_boxes, safe[..., None], axis=1)
-        ds = jnp.take_along_axis(cand_scores, safe, axis=1)
-        dc = jnp.take_along_axis(cand_classes, safe, axis=1)
-        return Detections(boxes=db, scores=jnp.where(ok, ds, 0.0), classes=dc, valid=ok)
-
-    def per_image(bx, sc, cl, v):
-        idx, ok = batched_nms(bx, sc, cl, conf.nms_thresh, conf.detections_per_image, valid=v)
-        return jnp.take(bx, idx, axis=0), jnp.take(sc, idx), jnp.take(cl, idx), ok
-
-    db, ds, dc, ok = jax.vmap(per_image)(cand_boxes, cand_scores, cand_classes, cand_valid)
-    return Detections(boxes=db, scores=jnp.where(ok, ds, 0.0), classes=dc, valid=ok)
+    db, ds, dc, ok = multiclass_nms(
+        cand_boxes,
+        cand_scores,
+        cand_classes,
+        conf.nms_thresh,
+        conf.detections_per_image,
+        cand_valid,
+        impl=conf.nms_impl,
+    )
+    return Detections(boxes=db, scores=ds, classes=dc, valid=ok)

@@ -28,7 +28,7 @@ from detax.configs.yolo import YOLOConf
 from detax.models.resnet import ResNet
 from detax.nn.yolo_head import YOLOHead
 from detax.ops.losses import bce_with_logits
-from detax.ops.nms import batched_nms
+from detax.ops.nms import multiclass_nms
 from detax.structures import boxes as box_ops
 from detax.structures.detections import Detections, GroundTruth
 from detax.structures.image_batch import ImageBatch
@@ -106,12 +106,11 @@ class YOLO(nn.Module):
         boxes = box_ops.clip(boxes, images.image_sizes[:, 0:1], images.image_sizes[:, 1:2])
         valid = (scores > c.conf_thresh) & box_ops.nonempty(boxes)
 
-        def per_image(bx, sc, cl, v):
-            idx, ok = batched_nms(bx, sc, cl, c.nms_thresh, c.detections_per_image, valid=v)
-            return jnp.take(bx, idx, axis=0), jnp.take(sc, idx), jnp.take(cl, idx), ok
-
-        db, ds, dc, ok = jax.vmap(per_image)(boxes, scores, classes, valid)
-        return Detections(boxes=db, scores=jnp.where(ok, ds, 0.0), classes=dc, valid=ok)
+        db, ds, dc, ok = multiclass_nms(
+            boxes, scores, classes, c.nms_thresh, c.detections_per_image, valid,
+            impl=c.nms_impl,
+        )
+        return Detections(boxes=db, scores=ds, classes=dc, valid=ok)
 
     def train_forward(
         self, images: ImageBatch, gt: GroundTruth

@@ -111,6 +111,56 @@ def suppression_mask(
     return keep
 
 
+def multiclass_nms(
+    boxes: Array,
+    scores: Array,
+    classes: Array,
+    iou_threshold: float,
+    max_out: int,
+    valid: Array,
+    impl: str = "xla",
+) -> Tuple[Array, Array, Array, Array]:
+    """Batched class-aware NMS over ``(B, N, ...)`` candidates.
+
+    Shared final-suppression stage of every detector head (Fast R-CNN,
+    RetinaNet, YOLO). ``impl='pallas'`` routes through the blocked TPU kernel
+    (one call for the whole batch, candidates sorted here); ``'xla'`` runs
+    the per-image scan under ``vmap``.
+
+    Returns ``(boxes, scores, classes, valid)`` with capacity ``max_out``,
+    score-descending.
+    """
+    if impl == "pallas":
+        from detax.ops.nms_pallas import batch_class_aware_keep
+
+        n = boxes.shape[1]
+        s = jnp.where(valid, scores, -jnp.inf)
+        order = jnp.argsort(-s, axis=1)
+        sb = jnp.take_along_axis(boxes, order[..., None], axis=1)
+        ss = jnp.take_along_axis(s, order, axis=1)
+        sc = jnp.take_along_axis(classes, order, axis=1)
+        sv = ss > -jnp.inf
+        keep = batch_class_aware_keep(sb, ss, sc, iou_threshold, sv)
+        pos = jnp.arange(n)[None, :]
+        key = jnp.where(keep, pos, n)
+        top = jnp.sort(key, axis=1)[:, :max_out]
+        ok = top < n
+        safe = jnp.where(ok, top, 0)
+        return (
+            jnp.take_along_axis(sb, safe[..., None], axis=1),
+            jnp.where(ok, jnp.take_along_axis(ss, safe, axis=1), 0.0),
+            jnp.take_along_axis(sc, safe, axis=1),
+            ok,
+        )
+
+    def per_image(bx, s, cl, v):
+        idx, ok = batched_nms(bx, s, cl, iou_threshold, max_out, valid=v)
+        return jnp.take(bx, idx, axis=0), jnp.take(s, idx), jnp.take(cl, idx), ok
+
+    db, ds, dc, ok = jax.vmap(per_image)(boxes, scores, classes, valid)
+    return db, jnp.where(ok, ds, 0.0), dc, ok
+
+
 def batched_nms(
     boxes: Array,
     scores: Array,

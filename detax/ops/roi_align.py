@@ -23,7 +23,7 @@ is no L× wasted compute and no scatter.
 from __future__ import annotations
 
 import math
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -183,16 +183,171 @@ def assign_boxes_to_levels(
     max_level: int,
     canonical_box_size: int = 224,
     canonical_level: int = 4,
+    max_side_cells: Optional[int] = None,
 ) -> Array:
     """FPN paper eqn. (1) level assignment.
 
     (reference ``assign_boxes_to_levels``, ``roi_poolers.py:103-131``.)
     ``boxes`` is ``(..., 4)``; returns int32 levels in ``[min_level, max_level]``.
+
+    ``max_side_cells`` (TPU window-pooling mode): additionally bump a box to
+    the coarsest level where its *longer side* spans at most this many
+    feature cells — canonical assignment only bounds sqrt(area), so extreme
+    aspect ratios can span arbitrarily many cells on one axis. Only boxes
+    with aspect ratio ≳ 2 are affected; used by the Pallas window pooler.
     """
     area = (boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1])
     sqrt_area = jnp.sqrt(jnp.clip(area, 0))
     lvl = jnp.floor(canonical_level + jnp.log2(sqrt_area / canonical_box_size + 1e-8))
+    if max_side_cells is not None:
+        long_side = jnp.maximum(
+            boxes[..., 2] - boxes[..., 0], boxes[..., 3] - boxes[..., 1]
+        )
+        needed = jnp.ceil(jnp.log2(jnp.clip(long_side, 1e-6) / max_side_cells))
+        lvl = jnp.maximum(lvl, needed)
     return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
+
+
+def multiscale_roi_align_window(
+    features: Sequence[Array],
+    boxes: Array,
+    strides: Sequence[int],
+    output_size: Tuple[int, int] = (7, 7),
+    sampling_ratio: int = 2,
+    canonical_box_size: int = 224,
+    canonical_level: int = 4,
+    window: int = 32,
+    chunk_size: int = 4096,
+) -> Array:
+    """Window-gather ROIAlign: the TPU fast path in pure XLA.
+
+    Per box, ONE ``lax.gather`` fetches its whole (window, window, C) bilinear
+    footprint (TPU gather cost is per-index — measured — so 1 index/box beats
+    the 784 row fetches of the sample-gather path by orders of magnitude);
+    the 7x7xr² bilinear reduce then becomes two batched einsums on the MXU
+    with per-axis interpolation matrices.
+
+    Requires the span-aware level assignment (``max_side_cells = window-4``)
+    so every box's footprint fits the window — identical to the canonical
+    assignment except for aspect ratios ≳2 near level boundaries, which pool
+    from one level coarser (documented TPU-pooler semantics; the default
+    gather path keeps exact reference semantics for the parity gate).
+    """
+    assert len(features) == len(strides)
+    b, r_boxes = boxes.shape[0], boxes.shape[1]
+    c = features[0].shape[-1]
+    dtype = features[0].dtype
+    ph, pw = output_size
+    r = sampling_ratio
+    s_y, s_x = ph * r, pw * r
+    levels = [int(math.log2(s)) for s in strides]
+    min_level, max_level = levels[0], levels[-1]
+    num_levels = len(features)
+
+    h_max = max(window, max(f.shape[1] for f in features))
+    w_max = max(window, max(f.shape[2] for f in features))
+    stack = jnp.stack(
+        [
+            jnp.pad(f, ((0, 0), (0, h_max - f.shape[1]), (0, w_max - f.shape[2]), (0, 0)))
+            for f in features
+        ],
+        axis=1,
+    )  # (B, L, Hm, Wm, C)
+
+    heights = jnp.array([f.shape[1] for f in features], jnp.float32)
+    widths = jnp.array([f.shape[2] for f in features], jnp.float32)
+    pad_h = jnp.array([max(window, f.shape[1]) for f in features], jnp.float32)
+    pad_w = jnp.array([max(window, f.shape[2]) for f in features], jnp.float32)
+    scales = jnp.array([1.0 / s for s in strides], jnp.float32)
+
+    lvl = assign_boxes_to_levels(
+        boxes, min_level, max_level, canonical_box_size, canonical_level,
+        max_side_cells=window - 4,
+    )
+    lvl_idx = (lvl - min_level).reshape(-1)
+    flat_boxes = boxes.reshape(-1, 4)
+    n = flat_boxes.shape[0]
+
+    scale = jnp.take(scales, lvl_idx)
+    x1 = flat_boxes[:, 0] * scale - 0.5
+    y1 = flat_boxes[:, 1] * scale - 0.5
+    x2 = flat_boxes[:, 2] * scale - 0.5
+    y2 = flat_boxes[:, 3] * scale - 0.5
+    bin_h = (y2 - y1) / ph
+    bin_w = (x2 - x1) / pw
+    h_true = jnp.take(heights, lvl_idx)
+    w_true = jnp.take(widths, lvl_idx)
+    y0 = jnp.clip(jnp.floor(y1), 0, jnp.take(pad_h, lvl_idx) - window)
+    x0 = jnp.clip(jnp.floor(x1), 0, jnp.take(pad_w, lvl_idx) - window)
+    bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r_boxes)
+
+    def interp_matrix(start, binsz, origin, size, n_samples):
+        """(N, n_samples, window) bilinear weights (torchvision rules)."""
+        q = jnp.arange(n_samples, dtype=jnp.float32)
+        qb = jnp.floor(q / r)
+        qs = q - qb * r
+        g = start[:, None] + binsz[:, None] * (qb + (qs + 0.5) / r)[None, :]  # (N, S)
+        in_range = (g >= -1.0) & (g <= size[:, None])
+        gc = jnp.maximum(g, 0.0)
+        low = jnp.floor(gc)
+        at_edge = low >= size[:, None] - 1.0
+        low = jnp.where(at_edge, size[:, None] - 1.0, low)
+        high = jnp.where(at_edge, low, low + 1.0)
+        gc = jnp.where(at_edge, low, gc)
+        frac = gc - low
+        w_low = jnp.where(in_range, 1.0 - frac, 0.0)
+        w_high = jnp.where(in_range, frac, 0.0)
+        low_w = jnp.clip(low - origin[:, None], 0.0, window - 1.0)
+        high_w = jnp.clip(high - origin[:, None], 0.0, window - 1.0)
+        cols = jnp.arange(window, dtype=jnp.float32)[None, None, :]
+        return (
+            w_low[..., None] * (cols == low_w[..., None])
+            + w_high[..., None] * (cols == high_w[..., None])
+        ).astype(dtype)
+
+    a_y = interp_matrix(y1, bin_h, y0, h_true, s_y)  # (N, s_y, W)
+    a_x = interp_matrix(x1, bin_w, x0, w_true, s_x)  # (N, s_x, W)
+
+    starts = jnp.stack(
+        [bidx, lvl_idx.astype(jnp.int32), y0.astype(jnp.int32), x0.astype(jnp.int32)], axis=1
+    )
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(0, 1),
+        start_index_map=(0, 1, 2, 3),
+    )
+
+    def pool_chunk(args):
+        st, ay, ax = args
+        win = jax.lax.gather(
+            stack,
+            st,
+            dnums,
+            slice_sizes=(1, 1, window, window, c),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )  # (Nc, W, W, C)
+        tmp = jnp.einsum("nsy,nyxc->nsxc", ay, win, preferred_element_type=jnp.float32)
+        out = jnp.einsum("ntx,nsxc->nstc", ax, tmp.astype(dtype), preferred_element_type=jnp.float32)
+        out = out.reshape(-1, ph, r, pw, r, c).mean(axis=(2, 4))
+        return out.astype(dtype)
+
+    if n <= chunk_size:
+        out = pool_chunk((starts, a_y, a_x))
+    else:
+        n_chunks = -(-n // chunk_size)
+        n_pad = n_chunks * chunk_size
+        st = jnp.pad(starts, ((0, n_pad - n), (0, 0)))
+        ay = jnp.pad(a_y, ((0, n_pad - n), (0, 0), (0, 0)))
+        ax = jnp.pad(a_x, ((0, n_pad - n), (0, 0), (0, 0)))
+        out = jax.lax.map(
+            pool_chunk,
+            (
+                st.reshape(n_chunks, chunk_size, 4),
+                ay.reshape(n_chunks, chunk_size, s_y, window),
+                ax.reshape(n_chunks, chunk_size, s_x, window),
+            ),
+        ).reshape(n_pad, ph, pw, c)[:n]
+    return out.reshape(b, r_boxes, ph, pw, c)
 
 
 def multiscale_roi_align(
@@ -205,6 +360,7 @@ def multiscale_roi_align(
     canonical_box_size: int = 224,
     canonical_level: int = 4,
     chunk_size: int = 256,
+    max_side_cells: Optional[int] = None,
 ) -> Array:
     """Multi-level ROIAlign over FPN features (reference ``ROIPooler.forward``).
 
@@ -271,7 +427,8 @@ def multiscale_roi_align(
         """(B, Rc, 4) → (B, Rc, ph, pw, C); memory ∝ Rc."""
         rc = boxes_chunk.shape[1]
         lvl = assign_boxes_to_levels(
-            boxes_chunk, min_level, max_level, canonical_box_size, canonical_level
+            boxes_chunk, min_level, max_level, canonical_box_size, canonical_level,
+            max_side_cells=max_side_cells,
         )
         lvl_idx = lvl - min_level  # (B, Rc)
         box_scale = jnp.take(scales, lvl_idx)

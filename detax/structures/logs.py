@@ -126,6 +126,20 @@ class Logs:
     def clear_histograms(self) -> None:
         self._histograms = []
 
+    def write_jsonl(self, path: str, window_size: Optional[int] = None) -> None:
+        """Append the latest (smoothed) scalars as one JSON line — the
+        consumer the reference never shipped (its ``Logs`` staged data for a
+        tensorboard writer that doesn't exist, SURVEY.md §5.5)."""
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        row = {"iter": self._iter}
+        for name, (value, _) in self.latest_with_smoothing_hint(window_size).items():
+            row[name] = value
+        with open(path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
     # -- iteration bookkeeping ----------------------------------------------
     @property
     def iter(self) -> int:

@@ -36,3 +36,56 @@ def test_faster_rcnn_pallas_nms_matches_xla(rng):
         np.asarray(dets_x.scores)[vx], np.asarray(dets_p.scores)[vp], rtol=1e-5, atol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(dets_x.classes)[vx], np.asarray(dets_p.classes)[vp])
+
+
+def _assert_same_detections(dets_x, dets_p):
+    vx, vp = np.asarray(dets_x.valid), np.asarray(dets_p.valid)
+    np.testing.assert_array_equal(vx, vp)
+    np.testing.assert_allclose(
+        np.asarray(dets_x.boxes)[vx], np.asarray(dets_p.boxes)[vp], rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(dets_x.classes)[vx], np.asarray(dets_p.classes)[vp])
+
+
+def test_retinanet_pallas_nms_matches_xla(rng):
+    from detax.configs import FPNConf, PreprocessConf, ResNetConf, RetinaNetConf
+    from detax.models import RetinaNet
+
+    base = RetinaNetConf(
+        backbone=FPNConf(bottom_up=ResNetConf(stage_blocks=(1, 1, 1, 1)), out_channels=64),
+        num_classes=5,
+        topk_candidates=32,
+        detections_per_image=8,
+        score_thresh=-1.0,  # keep plenty of candidates with random weights
+        preprocess=PreprocessConf(image_size=IMG),
+    )
+    pixels = jnp.asarray(rng.randn(2, IMG, IMG, 3), jnp.float32)
+    images = ImageBatch.from_pixels(pixels)
+    model_x = RetinaNet(conf=base)
+    params = model_x.init(jax.random.PRNGKey(0), images)
+    dets_x = model_x.apply(params, images)
+    model_p = RetinaNet(conf=base.replace(nms_impl="pallas"))
+    dets_p = model_p.apply(params, images)
+    _assert_same_detections(dets_x, dets_p)
+
+
+def test_yolo_pallas_nms_matches_xla(rng):
+    from detax.configs import PreprocessConf, ResNetConf, YOLOConf
+    from detax.models import YOLO
+
+    base = YOLOConf(
+        backbone=ResNetConf(stage_blocks=(1, 1, 1, 1)),
+        num_classes=5,
+        topk_candidates=32,
+        detections_per_image=8,
+        conf_thresh=0.0,
+        preprocess=PreprocessConf(image_size=IMG),
+    )
+    pixels = jnp.asarray(rng.randn(2, IMG, IMG, 3), jnp.float32)
+    images = ImageBatch.from_pixels(pixels)
+    model_x = YOLO(conf=base)
+    params = model_x.init(jax.random.PRNGKey(0), images)
+    dets_x = model_x.apply(params, images)
+    model_p = YOLO(conf=base.replace(nms_impl="pallas"))
+    dets_p = model_p.apply(params, images)
+    _assert_same_detections(dets_x, dets_p)

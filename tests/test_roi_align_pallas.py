@@ -1,0 +1,88 @@
+"""Window-DMA Pallas ROIAlign vs the gather path / numpy oracle
+(interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from detax.ops.roi_align import assign_boxes_to_levels, multiscale_roi_align
+from detax.ops.roi_align_pallas import multiscale_roi_align_pallas
+from tests.oracles import roi_align_oracle
+
+
+def _setup(rng, b=2, n=12, c=8, size=512):
+    strides = [4, 8, 16, 32]
+    feats = [
+        jnp.asarray(rng.randn(b, size // s, size // s, c), np.float32) for s in strides
+    ]
+    xy = rng.uniform(0, size * 0.6, (b, n, 2))
+    wh = rng.uniform(8, size * 0.35, (b, n, 2))
+    boxes = jnp.asarray(np.concatenate([xy, np.minimum(xy + wh, size)], -1), np.float32)
+    return feats, boxes, strides
+
+
+def test_pallas_matches_gather_path(rng):
+    feats, boxes, strides = _setup(rng)
+    # both paths with the same span-aware level bump (window contract)
+    want = np.asarray(
+        multiscale_roi_align(feats, boxes, strides, (7, 7), 2, True, max_side_cells=28)
+    )
+    got = np.asarray(multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_matches_oracle_per_level(rng):
+    feats, boxes, strides = _setup(rng, b=1, n=6)
+    got = np.asarray(multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 2))
+    lv = np.asarray(assign_boxes_to_levels(boxes, 2, 5, 224, 4, max_side_cells=28))
+    for j in range(6):
+        l = int(lv[0, j]) - 2
+        want = roi_align_oracle(
+            np.asarray(feats[l][0]), np.asarray(boxes[0, j : j + 1]), 1.0 / strides[l], (7, 7), 2, True
+        )
+        np.testing.assert_allclose(got[0, j], want[0], rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_small_top_level_map(rng):
+    # 640 canvas → p4 map is 20x20 < the 32 window; exercises padding
+    strides = [4, 8, 16, 32]
+    b, c = 1, 4
+    feats = [jnp.asarray(rng.randn(b, 640 // s, 640 // s, c), np.float32) for s in strides]
+    boxes = jnp.asarray([[[10.0, 10.0, 630.0, 620.0], [50.0, 40.0, 600.0, 580.0]]], np.float32)
+    want = np.asarray(multiscale_roi_align(feats, boxes, strides, (7, 7), 2, True))
+    got = np.asarray(multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_ratio_one(rng):
+    feats, boxes, strides = _setup(rng, n=5)
+    want = np.asarray(
+        multiscale_roi_align(feats, boxes, strides, (7, 7), 1, True, max_side_cells=28)
+    )
+    got = np.asarray(multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_span_bump_no_effect_on_square_boxes(rng):
+    # square boxes always fit the window at their canonical level, so the
+    # span-aware bump must be a no-op for them
+    import jax.numpy as jnp
+
+    xy = rng.uniform(0, 300, (1, 20, 2)).astype(np.float32)
+    side = rng.uniform(16, 200, (1, 20, 1)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([xy, xy + side, ], -1)[..., [0, 1, 2, 3]])
+    boxes = jnp.concatenate([boxes[..., :2], boxes[..., :2] + side], axis=-1)
+    a = np.asarray(assign_boxes_to_levels(boxes, 2, 5, 224, 4))
+    b = np.asarray(assign_boxes_to_levels(boxes, 2, 5, 224, 4, max_side_cells=28))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_span_bump_extreme_aspect_goes_coarser(rng):
+    import jax.numpy as jnp
+
+    # 300x20 box: sqrt(area)=77 → canonical level 2 (stride 4) where the long
+    # side would span 75 cells; the bump must push it coarser
+    boxes = jnp.asarray([[[10.0, 10.0, 310.0, 30.0]]])
+    a = int(np.asarray(assign_boxes_to_levels(boxes, 2, 5, 224, 4))[0, 0])
+    b = int(np.asarray(assign_boxes_to_levels(boxes, 2, 5, 224, 4, max_side_cells=28))[0, 0])
+    assert a == 2 and b > a
+    assert 300 / (2 ** b) <= 28
