@@ -89,6 +89,28 @@ def cmd_train(args: argparse.Namespace) -> None:
         ckpt.save(state, wait=True)
     print(f"done: final_loss={float(metrics['total_loss']):.4f}")
 
+    if args.eval_images > 0:
+        from detax.evaluate import DetectionEvaluator
+
+        eval_ds = (
+            dataset
+            if args.coco_json
+            else SyntheticCOCO(
+                num_images=args.eval_images, image_size=args.image_size,
+                num_classes=args.num_classes, seed=777,
+            )
+        )
+        eval_batches = make_batches(
+            eval_ds, args.batch, PreprocessConf(image_size=args.image_size),
+            max_gt_boxes=conf.max_gt_boxes, epochs=1,
+        )
+        fwd = jax.jit(lambda p, im: model.apply(p, im))
+        ev = DetectionEvaluator(args.num_classes)
+        for images, gt in eval_batches:
+            dets = fwd(state.params, images)
+            ev.add_batch(dets, gt)
+        print("eval:", json.dumps(ev.summarize()))
+
 
 def cmd_serve(args: argparse.Namespace) -> None:
     import jax
@@ -166,6 +188,7 @@ def main() -> None:
     t.add_argument("--checkpoint-dir", default=None)
     t.add_argument("--log-every", type=int, default=10)
     t.add_argument("--no-augment", action="store_true")
+    t.add_argument("--eval-images", type=int, default=0, help="run mAP eval on this many held-out images after training")
     t.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("serve", help="batched TPU inference server")
