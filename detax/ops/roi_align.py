@@ -359,7 +359,7 @@ def multiscale_roi_align(
     aligned: bool = True,
     canonical_box_size: int = 224,
     canonical_level: int = 4,
-    chunk_size: int = 256,
+    chunk_size: int = 512,
     max_side_cells: Optional[int] = None,
 ) -> Array:
     """Multi-level ROIAlign over FPN features (reference ``ROIPooler.forward``).

@@ -69,9 +69,11 @@ def import_resnet(
         else:
             raise ValueError(f"cannot import BN stats into norm='{norm}'")
 
-    # stem (reference remap conv1→stem.conv, bn1→stem.bn, res_net.py:129-140)
-    _set(params, ("stem", "stem_conv", "conv"), {"kernel": _conv_kernel(state_dict["conv1.weight"])})
-    put_bn(("stem", "stem_conv"), "bn1")
+    # stem (reference remap conv1→stem.conv, bn1→stem.bn, res_net.py:129-140);
+    # detax stores the stem kernel directly (space-to-depth reparam happens
+    # at apply time from the same canonical (7,7,C,O) parameter)
+    _set(params, ("stem",), {"stem_conv_kernel": _conv_kernel(state_dict["conv1.weight"])})
+    put_bn(("stem",), "bn1")
 
     layer_re = re.compile(r"^layer(\d+)\.(\d+)\.(conv|bn)(\d+)\.")
     down_re = re.compile(r"^layer(\d+)\.(\d+)\.downsample\.(0|1)\.")
