@@ -17,15 +17,15 @@ import sys
 import time
 
 
-def _build_model(image_size: int, num_classes: int = 80):
+def _build_model(image_size: int, num_classes: int = 80, mask_on: bool = False):
     import jax.numpy as jnp
 
     from detax.configs import FasterRCNNConf, PreprocessConf
     from detax.models import FasterRCNN
 
     conf = FasterRCNNConf(preprocess=PreprocessConf(image_size=image_size))
-    if num_classes != conf.roi.num_classes:
-        conf = conf.replace(roi=conf.roi.replace(num_classes=num_classes))
+    if num_classes != conf.roi.num_classes or mask_on:
+        conf = conf.replace(roi=conf.roi.replace(num_classes=num_classes, mask_on=mask_on))
     return FasterRCNN(conf=conf, dtype=jnp.bfloat16), conf
 
 
@@ -42,7 +42,7 @@ def cmd_train(args: argparse.Namespace) -> None:
     from detax.train.step import make_train_step
     from detax.train.train_state import create_train_state, make_optimizer, warmup_cosine_schedule
 
-    model, conf = _build_model(args.image_size, args.num_classes)
+    model, conf = _build_model(args.image_size, args.num_classes, mask_on=args.masks)
     if args.coco_json:
         dataset = COCOReader(args.coco_json, args.coco_images)
     else:
@@ -52,7 +52,7 @@ def cmd_train(args: argparse.Namespace) -> None:
         )
     batches = make_batches(
         dataset, args.batch, PreprocessConf(image_size=args.image_size),
-        max_gt_boxes=conf.max_gt_boxes,
+        max_gt_boxes=conf.max_gt_boxes, rect_masks=args.masks,
     )
 
     images, gt = next(batches)
@@ -189,6 +189,7 @@ def main() -> None:
     t.add_argument("--log-every", type=int, default=10)
     t.add_argument("--no-augment", action="store_true")
     t.add_argument("--eval-images", type=int, default=0, help="run mAP eval on this many held-out images after training")
+    t.add_argument("--masks", action="store_true", help="Mask R-CNN mode (instance masks; synthetic data uses exact box masks)")
     t.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("serve", help="batched TPU inference server")

@@ -19,6 +19,7 @@ from detax.configs.rpn import (
 )
 from detax.configs.roi import (
     BoxHeadConf,
+    MaskHeadConf,
     MatcherConf,
     ProposalMatcherConf,
     ROIConf,
@@ -45,6 +46,7 @@ __all__ = [
     "ProposalMatcherConf",
     "ROIPoolerConf",
     "BoxHeadConf",
+    "MaskHeadConf",
     "ROIConf",
     "FasterRCNNConf",
     "PreprocessConf",

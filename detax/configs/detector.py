@@ -25,6 +25,8 @@ class PreprocessConf(BaseConf):
     # detax folds the 255 in so uint8 decode feeds straight through)
     pixel_mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
     pixel_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
+    # GT instance bitmaps are stored at canvas/mask_stride resolution
+    mask_stride: int = 4
 
 
 @register_conf

@@ -51,6 +51,14 @@ class BoxHeadConf(BaseConf):
 
 
 @register_conf
+class MaskHeadConf(BaseConf):
+    """Mask R-CNN head (completes the reference's dead mask slots, M3)."""
+
+    num_convs: int = 4
+    conv_dim: int = 256
+
+
+@register_conf
 class ROIConf(BaseConf):
     name: str = "roi-heads"
     batch_size_per_image: int = 512
@@ -72,3 +80,11 @@ class ROIConf(BaseConf):
     # TPU replacement for the reference's dynamic score-threshold filtering
     pre_nms_candidates: int = 1000
     nms_impl: str = "xla"  # "xla" | "pallas" (see RegionProposalNetworkConf)
+    # instance segmentation (Mask R-CNN capability)
+    mask_on: bool = False
+    mask_head: MaskHeadConf = MaskHeadConf()
+    mask_pooler: ROIPoolerConf = ROIPoolerConf(output_size=(14, 14))
+    # mask loss runs on the first mask_rois sampled ROIs (sampling orders
+    # foreground first); 28x28 targets cropped from GT bitmaps
+    mask_rois: int = 128
+    loss_mask_weight: float = 1.0

@@ -29,7 +29,10 @@ from detax.models.roi_heads import (
     fast_rcnn_inference,
     fast_rcnn_losses,
     label_and_sample_proposals,
+    mask_inference,
+    mask_rcnn_loss,
     pool_features,
+    pool_mask_features,
 )
 from detax.models.rpn import (
     RegionProposalNetwork,
@@ -78,9 +81,18 @@ class FasterRCNN(nn.Module):
         )
         pooled = pool_features(self.conf.roi, feats, self._strides(), proposals.boxes)
         scores, box_deltas = self.roi(pooled, train=False)
-        return fast_rcnn_inference(
+        dets = fast_rcnn_inference(
             self.conf.roi, scores, box_deltas, proposals.boxes, proposals.valid, images.image_sizes
         )
+        if self.conf.roi.mask_on:
+            mp = pool_mask_features(self.conf.roi, feats, self._strides(), dets.boxes)
+            mlogits = self.roi.mask_forward(mp, train=False)
+            masks = mask_inference(mlogits, dets.classes, self.conf.roi.num_classes)
+            dets = Detections(
+                boxes=dets.boxes, scores=dets.scores, classes=dets.classes,
+                valid=dets.valid, mask_logits=masks,
+            )
+        return dets
 
     def propose(self, images: ImageBatch) -> Detections:
         """RPN-only forward (the reference's deepest working path, §3.3)."""
@@ -125,7 +137,7 @@ class FasterRCNN(nn.Module):
             images.image_sizes,
             train=True,
         )
-        boxes, classes, tboxes, is_fg, valid, roi_metrics = label_and_sample_proposals(
+        boxes, classes, tboxes, is_fg, valid, gt_idx, roi_metrics = label_and_sample_proposals(
             k_roi, self.conf.roi, proposals, gt
         )
         pooled = pool_features(self.conf.roi, feats, self._strides(), boxes)
@@ -135,5 +147,21 @@ class FasterRCNN(nn.Module):
         )
 
         losses = {**rpn_loss, **roi_loss}
+        if self.conf.roi.mask_on and gt.masks is not None:
+            # mask branch on the first mask_rois slots (sampling is fg-first)
+            k = self.conf.roi.mask_rois
+            mboxes = boxes[:, :k]
+            mp = pool_mask_features(self.conf.roi, feats, self._strides(), mboxes)
+            mlogits = self.roi.mask_forward(mp, train=True)
+            losses["loss_mask"] = mask_rcnn_loss(
+                self.conf.roi,
+                mlogits,
+                gt.masks,
+                self.conf.preprocess.mask_stride,
+                mboxes,
+                gt_idx[:, :k],
+                classes[:, :k],
+                is_fg[:, :k],
+            )
         metrics = {**rpn_metrics, **roi_metrics}
         return losses, metrics

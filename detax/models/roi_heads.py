@@ -43,21 +43,37 @@ _GT_LOGIT = 23.0
 
 
 class StandardROIHeads(nn.Module):
-    """The NN part: pooled features → box head → (scores, deltas)."""
+    """The NN part: pooled features → box head → (scores, deltas); plus the
+    mask head when ``conf.mask_on`` (the reference reserved these slots as
+    dead code, ``roi.py:307-340``)."""
 
     conf: ROIConf
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
-    def __call__(self, pooled: Array, train: bool = False) -> Tuple[Array, Array]:
+    def setup(self):
+        from detax.nn.mask_head import MaskRCNNHead
+
         h = self.conf.box_head
-        x = FastRCNNConvFCHead(
+        self.box_head = FastRCNNConvFCHead(
             num_conv=h.num_conv, conv_dim=h.conv_dim, num_fc=h.num_fc, fc_dim=h.fc_dim,
-            norm=h.norm, dtype=self.dtype, name="box_head",
-        )(pooled, train=train)
-        return FastRCNNOutputLayers(
-            num_classes=self.conf.num_classes, dtype=self.dtype, name="box_predictor"
-        )(x)
+            norm=h.norm, dtype=self.dtype,
+        )
+        self.box_predictor = FastRCNNOutputLayers(
+            num_classes=self.conf.num_classes, dtype=self.dtype
+        )
+        if self.conf.mask_on:
+            m = self.conf.mask_head
+            self.mask_head = MaskRCNNHead(
+                num_classes=self.conf.num_classes, num_convs=m.num_convs,
+                conv_dim=m.conv_dim, dtype=self.dtype,
+            )
+
+    def __call__(self, pooled: Array, train: bool = False) -> Tuple[Array, Array]:
+        return self.box_predictor(self.box_head(pooled, train=train))
+
+    def mask_forward(self, pooled: Array, train: bool = False) -> Array:
+        """(…, 14, 14, C) mask-pooled features → (…, 28, 28, num_classes)."""
+        return self.mask_head(pooled, train=train)
 
 
 def pool_features(
@@ -134,8 +150,9 @@ def label_and_sample_proposals(
     Returns per-image fixed-size (``batch_size_per_image``) arrays:
       ``boxes (B, S, 4)``, ``gt_classes (B, S)`` (num_classes = background),
       ``target_boxes (B, S, 4)``, ``is_fg (B, S)``, ``valid (B, S)``,
+      ``matched_gt_idx (B, S)`` (for mask targets),
       and a metrics dict (reference ``Logs`` names ``roi_head/num_fg_samples``
-      / ``roi_head/num_bg_samples``).
+      / ``roi_head/num_bg_samples``). Slots are ordered foreground-first.
     """
     if conf.proposal_append_gt:
         proposals = add_ground_truth_to_proposals(proposals, gt)
@@ -166,7 +183,13 @@ def label_and_sample_proposals(
         )
         sampled = pos_mask | neg_mask
         k2 = jax.random.fold_in(k, 1)
-        prio = jax.random.uniform(k2, classes.shape) + sampled.astype(jnp.float32)
+        # order: sampled-fg first, then sampled-bg, then padding — the mask
+        # branch consumes the first conf.mask_rois slots (mostly fg)
+        prio = (
+            jax.random.uniform(k2, classes.shape)
+            + sampled.astype(jnp.float32)
+            + 2.0 * pos_mask.astype(jnp.float32)
+        )
         _, idx = jax.lax.top_k(prio, s)
         return idx, jnp.take(sampled, idx), jnp.take(pos_mask, idx)
 
@@ -185,7 +208,10 @@ def label_and_sample_proposals(
         "roi_head/num_bg_samples": jnp.sum(valid & ~is_fg) / num_images,
     }
     sg = jax.lax.stop_gradient
-    return sg(boxes), sg(classes), sg(target_boxes), sg(is_fg & valid), sg(valid), metrics
+    return (
+        sg(boxes), sg(classes), sg(target_boxes), sg(is_fg & valid), sg(valid),
+        sg(tgt_idx), metrics,
+    )
 
 
 def fast_rcnn_losses(
@@ -271,3 +297,96 @@ def fast_rcnn_inference(
         impl=conf.nms_impl,
     )
     return Detections(boxes=db, scores=ds, classes=dc, valid=ok)
+
+
+def pool_mask_features(
+    conf: ROIConf,
+    features: Dict[str, Array],
+    feature_strides: Dict[str, int],
+    boxes: Array,
+) -> Array:
+    """Multi-level ROIAlign at the mask head's resolution (14x14)."""
+    feats = [features[f] for f in conf.in_features]
+    strides = [feature_strides[f] for f in conf.in_features]
+    p = conf.mask_pooler
+    return multiscale_roi_align(
+        feats,
+        boxes,
+        strides,
+        output_size=p.output_size,
+        sampling_ratio=p.sampling_ratio,
+        aligned=p.type == "ROIAlignV2",
+        canonical_box_size=p.canonical_box_size,
+        canonical_level=p.canonical_level,
+    )
+
+
+def crop_gt_masks(
+    gt_masks: Array,
+    mask_stride: int,
+    boxes: Array,
+    gt_index: Array,
+    out_hw: Tuple[int, int] = (28, 28),
+) -> Array:
+    """Crop each ROI's matched GT bitmap to the mask-target resolution.
+
+    Args:
+      gt_masks: ``(B, G, mh, mw)`` uint8 bitmaps in canvas coords at
+        ``mask_stride``.
+      boxes: ``(B, S, 4)`` sampled ROI boxes (canvas pixels).
+      gt_index: ``(B, S)`` matched GT per ROI.
+
+    Returns ``(B, S, oh, ow)`` float targets in [0, 1] (bilinear resample of
+    the bitmap over the box, matching Mask R-CNN's target definition).
+    """
+    b, g, mh, mw = gt_masks.shape
+    # one channel per GT instance; crop all, then select the matched one
+    # (single-level call: every box clips to the one level provided)
+    feats = jnp.moveaxis(gt_masks.astype(jnp.float32), 1, -1)  # (B, mh, mw, G)
+    crops = multiscale_roi_align(
+        [feats],
+        boxes,
+        [mask_stride],
+        output_size=out_hw,
+        sampling_ratio=1,
+        aligned=True,
+    )  # (B, S, oh, ow, G)
+    sel = jnp.take_along_axis(
+        crops, gt_index[:, :, None, None, None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    return jnp.clip(sel, 0.0, 1.0)
+
+
+def mask_rcnn_loss(
+    conf: ROIConf,
+    mask_logits: Array,
+    gt_masks: Array,
+    mask_stride: int,
+    boxes: Array,
+    gt_index: Array,
+    classes: Array,
+    is_fg: Array,
+) -> Array:
+    """Mask BCE on foreground ROIs' own-class channel (Mask R-CNN recipe).
+
+    mask_logits: ``(B, S, oh, ow, C)`` for the first ``mask_rois`` slots.
+    """
+    oh, ow = mask_logits.shape[2], mask_logits.shape[3]
+    targets = crop_gt_masks(gt_masks, mask_stride, boxes, gt_index, (oh, ow))
+    targets = jax.lax.stop_gradient(targets)
+    own = jnp.clip(classes, 0, conf.num_classes - 1)
+    own_idx = jnp.broadcast_to(own[:, :, None, None, None], mask_logits.shape[:-1] + (1,))
+    logits = jnp.take_along_axis(mask_logits, own_idx, axis=-1)[..., 0]
+    from detax.ops.losses import bce_with_logits
+
+    loss = bce_with_logits(logits, targets) * is_fg[:, :, None, None]
+    denom = jnp.maximum(jnp.sum(is_fg) * oh * ow, 1.0)
+    return jnp.sum(loss) / denom * conf.loss_mask_weight
+
+
+def mask_inference(mask_logits: Array, classes: Array, num_classes: int) -> Array:
+    """Select each detection's own-class mask: ``(B, N, oh, ow, C)`` →
+    ``(B, N, oh, ow)`` logits (caller applies sigmoid + pastes into boxes)."""
+    own = jnp.clip(classes, 0, num_classes - 1)
+    own_idx = jnp.broadcast_to(own[:, :, None, None, None], mask_logits.shape[:-1] + (1,))
+    return jnp.take_along_axis(mask_logits, own_idx, axis=-1)[..., 0]

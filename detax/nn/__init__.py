@@ -13,6 +13,7 @@ from detax.nn.residual import BasicBlock, BottleneckBlock, ResNetStage
 from detax.nn.fpn_blocks import FPNTopDown, LastLevelMaxPool
 from detax.nn.rpn_head import RPNHead
 from detax.nn.box_head import FastRCNNConvFCHead, FastRCNNOutputLayers
+from detax.nn.mask_head import MaskRCNNHead
 from detax.nn.retina_head import RetinaNetHead
 from detax.nn.yolo_head import YOLOHead
 from detax.nn.anchors import cell_anchors, grid_anchors, num_cell_anchors
@@ -29,6 +30,7 @@ __all__ = [
     "RPNHead",
     "FastRCNNConvFCHead",
     "FastRCNNOutputLayers",
+    "MaskRCNNHead",
     "RetinaNetHead",
     "YOLOHead",
     "cell_anchors",

@@ -1,0 +1,45 @@
+"""Mask R-CNN mask head.
+
+The reference's ``StandardROIHeads`` reserves mask-head slots but the init is
+dead Detectron2 paste that can never construct (``roi.py:307-340``, defect
+M3); detax completes the capability: the standard FCN head — four 3×3 convs,
+one 2× deconv, and a per-class 1×1 mask predictor over 14×14-pooled ROI
+features → 28×28 per-class mask logits.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class MaskRCNNHead(nn.Module):
+    num_classes: int = 80
+    num_convs: int = 4
+    conv_dim: int = 256
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """x: ``(..., ph, pw, C)`` pooled ROI features →
+        ``(..., 2*ph, 2*pw, num_classes)`` mask logits."""
+        lead = x.shape[:-3]
+        x = x.reshape((-1,) + x.shape[-3:])
+        for i in range(self.num_convs):
+            x = nn.relu(
+                nn.Conv(self.conv_dim, (3, 3), padding="SAME", kernel_init=_init,
+                        dtype=self.dtype, name=f"mask_fcn{i + 1}")(x)
+            )
+        x = nn.relu(
+            nn.ConvTranspose(self.conv_dim, (2, 2), strides=(2, 2), kernel_init=_init,
+                             dtype=self.dtype, name="deconv")(x)
+        )
+        logits = nn.Conv(
+            self.num_classes, (1, 1), kernel_init=nn.initializers.normal(0.001),
+            dtype=self.dtype, name="predictor",
+        )(x).astype(jnp.float32)
+        return logits.reshape(lead + logits.shape[1:])

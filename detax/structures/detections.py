@@ -36,6 +36,8 @@ class Detections:
     scores: Array
     classes: Array
     valid: Array
+    # optional (B, N, mh, mw) per-detection mask logits (Mask R-CNN)
+    mask_logits: Optional[Array] = None
 
     @property
     def capacity(self) -> int:
@@ -83,6 +85,9 @@ class GroundTruth:
     boxes: Array
     classes: Array
     valid: Array
+    # optional (B, G, mh, mw) instance bitmaps in canvas coords at a fixed
+    # stride (see PreprocessConf) for the mask loss
+    masks: Optional[Array] = None
 
     @property
     def capacity(self) -> int:
@@ -96,6 +101,8 @@ class GroundTruth:
         boxes_list,
         classes_list,
         capacity: int,
+        masks_list=None,
+        mask_hw=None,
     ) -> "GroundTruth":
         """Host-side helper: pad a list of per-image ``(g_i, 4)`` numpy arrays
         to a fixed-capacity batch. Truncates beyond ``capacity``."""
@@ -105,12 +112,21 @@ class GroundTruth:
         boxes = np.zeros((batch, capacity, 4), np.float32)
         classes = np.zeros((batch, capacity), np.int32)
         valid = np.zeros((batch, capacity), bool)
+        masks = None
+        if masks_list is not None:
+            assert mask_hw is not None
+            masks = np.zeros((batch, capacity) + tuple(mask_hw), np.uint8)
         for i, (b, c) in enumerate(zip(boxes_list, classes_list)):
             g = min(len(b), capacity)
             if g:
                 boxes[i, :g] = np.asarray(b, np.float32)[:g]
                 classes[i, :g] = np.asarray(c, np.int32)[:g]
                 valid[i, :g] = True
+                if masks is not None and len(masks_list[i]):
+                    masks[i, :g] = np.asarray(masks_list[i], np.uint8)[:g]
         return GroundTruth(
-            boxes=jnp.asarray(boxes), classes=jnp.asarray(classes), valid=jnp.asarray(valid)
+            boxes=jnp.asarray(boxes),
+            classes=jnp.asarray(classes),
+            valid=jnp.asarray(valid),
+            masks=jnp.asarray(masks) if masks is not None else None,
         )

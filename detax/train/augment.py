@@ -39,9 +39,22 @@ def hflip(images: ImageBatch, gt: GroundTruth, flip_mask: Array) -> Tuple[ImageB
     fb = jnp.stack([wv - x2, y1, wv - x1, y2], axis=-1)
     boxes = jnp.where(flip_mask[:, None, None], fb, gt.boxes)
     boxes = jnp.where(gt.valid[..., None], boxes, 0.0)
+
+    masks = gt.masks
+    if masks is not None:
+        # mirror instance bitmaps within the valid region (mask resolution)
+        mw = masks.shape[-1]
+        stride = w // mw  # canvas width / mask width
+        mwidths = (widths / stride).astype(jnp.int32)  # (B,)
+        mflip = masks[..., ::-1]
+        mcol = jnp.arange(mw)
+        midx = (mcol[None, :] + (mw - mwidths)[:, None]) % mw  # (B, mw)
+        mrolled = jnp.take_along_axis(mflip, midx[:, None, None, :], axis=-1)
+        masks = jnp.where(flip_mask[:, None, None, None], mrolled, masks)
+
     return (
         ImageBatch(pixels=pixels, image_sizes=images.image_sizes, scales=images.scales),
-        GroundTruth(boxes=boxes, classes=gt.classes, valid=gt.valid),
+        GroundTruth(boxes=boxes, classes=gt.classes, valid=gt.valid, masks=masks),
     )
 
 

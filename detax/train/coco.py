@@ -115,6 +115,23 @@ class COCOReader:
         )
 
 
+def rasterize_box_masks(boxes: np.ndarray, hw: Tuple[int, int], stride: int) -> np.ndarray:
+    """(g, 4) canvas-coordinate boxes → (g, H/stride, W/stride) uint8 bitmaps.
+
+    Exact instance masks for the synthetic rectangle dataset; a COCO polygon
+    rasterizer can slot in here for real data.
+    """
+    h, w = hw[0] // stride, hw[1] // stride
+    out = np.zeros((len(boxes), h, w), np.uint8)
+    ys = (np.arange(h) + 0.5) * stride
+    xs = (np.arange(w) + 0.5) * stride
+    for i, (x1, y1, x2, y2) in enumerate(np.asarray(boxes)):
+        out[i] = (
+            (ys[:, None] >= y1) & (ys[:, None] < y2) & (xs[None, :] >= x1) & (xs[None, :] < x2)
+        )
+    return out
+
+
 def make_batches(
     dataset,
     batch_size: int,
@@ -122,6 +139,7 @@ def make_batches(
     max_gt_boxes: int = 100,
     seed: int = 0,
     epochs: Optional[int] = None,
+    rect_masks: bool = False,
 ) -> Iterator[Tuple[ImageBatch, GroundTruth]]:
     """Host-side batcher: letterbox to the static canvas, pad GT.
 
@@ -157,13 +175,24 @@ def make_batches(
                 scales[bi] = scale
                 boxes_list.append(boxes * scale)
                 classes_list.append(classes)
+            masks_list = None
+            mask_hw = None
+            if rect_masks:
+                mask_hw = (size // preprocess.mask_stride, size // preprocess.mask_stride)
+                masks_list = [
+                    rasterize_box_masks(b[:max_gt_boxes], (size, size), preprocess.mask_stride)
+                    for b in boxes_list
+                ]
             yield (
                 ImageBatch(
                     pixels=jnp.asarray(pixels),
                     image_sizes=jnp.asarray(sizes),
                     scales=jnp.asarray(scales),
                 ),
-                GroundTruth.from_lists(boxes_list, classes_list, max_gt_boxes),
+                GroundTruth.from_lists(
+                    boxes_list, classes_list, max_gt_boxes,
+                    masks_list=masks_list, mask_hw=mask_hw,
+                ),
             )
         epoch += 1
 
