@@ -17,7 +17,9 @@ import sys
 import time
 
 
-def _build_model(image_size: int, num_classes: int = 80, mask_on: bool = False):
+def _build_model(
+    image_size: int, num_classes: int = 80, mask_on: bool = False, profile: str = "reference"
+):
     import jax.numpy as jnp
 
     from detax.configs import FasterRCNNConf, PreprocessConf
@@ -26,6 +28,18 @@ def _build_model(image_size: int, num_classes: int = 80, mask_on: bool = False):
     conf = FasterRCNNConf(preprocess=PreprocessConf(image_size=image_size))
     if num_classes != conf.roi.num_classes or mask_on:
         conf = conf.replace(roi=conf.roi.replace(num_classes=num_classes, mask_on=mask_on))
+    if profile == "tpu":
+        # serving profile (see bench.py): Pallas NMS, 1000/level pre-NMS,
+        # test-time 300 proposals, sampling_ratio 1
+        conf = conf.replace(
+            rpn=conf.rpn.replace(
+                pre_nms_topk=(2000, 1000), post_nms_topk=(2000, 300), nms_impl="pallas"
+            ),
+            roi=conf.roi.replace(
+                nms_impl="pallas",
+                box_pooler=conf.roi.box_pooler.replace(sampling_ratio=1),
+            ),
+        )
     return FasterRCNN(conf=conf, dtype=jnp.bfloat16), conf
 
 
@@ -119,7 +133,7 @@ def cmd_serve(args: argparse.Namespace) -> None:
     from detax.serve.server import DetectionService, serve
     from detax.structures.image_batch import ImageBatch
 
-    model, conf = _build_model(args.image_size, args.num_classes)
+    model, conf = _build_model(args.image_size, args.num_classes, profile=args.profile)
     import jax.numpy as jnp
 
     init = ImageBatch.from_pixels(jnp.zeros((1, args.image_size, args.image_size, 3)))
@@ -198,6 +212,7 @@ def main() -> None:
     s.add_argument("--batch-timeout-ms", type=float, default=5.0)
     s.add_argument("--image-size", type=int, default=640)
     s.add_argument("--num-classes", type=int, default=80)
+    s.add_argument("--profile", choices=["reference", "tpu"], default="tpu")
     s.set_defaults(fn=cmd_serve)
 
     d = sub.add_parser("detect", help="run detection on one image")

@@ -59,6 +59,15 @@ class MaskHeadConf(BaseConf):
 
 
 @register_conf
+class KeypointHeadConf(BaseConf):
+    """Keypoint R-CNN head (completes the reference's dead slot, M3)."""
+
+    num_keypoints: int = 17
+    num_convs: int = 8
+    conv_dim: int = 512
+
+
+@register_conf
 class ROIConf(BaseConf):
     name: str = "roi-heads"
     batch_size_per_image: int = 512
@@ -88,3 +97,9 @@ class ROIConf(BaseConf):
     # foreground first); 28x28 targets cropped from GT bitmaps
     mask_rois: int = 128
     loss_mask_weight: float = 1.0
+    # keypoint estimation (Keypoint R-CNN capability)
+    keypoint_on: bool = False
+    keypoint_head: KeypointHeadConf = KeypointHeadConf()
+    keypoint_pooler: ROIPoolerConf = ROIPoolerConf(output_size=(14, 14))
+    keypoint_rois: int = 128
+    loss_keypoint_weight: float = 1.0

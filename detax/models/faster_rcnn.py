@@ -28,10 +28,13 @@ from detax.models.roi_heads import (
     StandardROIHeads,
     fast_rcnn_inference,
     fast_rcnn_losses,
+    keypoint_inference,
+    keypoint_rcnn_loss,
     label_and_sample_proposals,
     mask_inference,
     mask_rcnn_loss,
     pool_features,
+    pool_keypoint_features,
     pool_mask_features,
 )
 from detax.models.rpn import (
@@ -84,13 +87,20 @@ class FasterRCNN(nn.Module):
         dets = fast_rcnn_inference(
             self.conf.roi, scores, box_deltas, proposals.boxes, proposals.valid, images.image_sizes
         )
+        masks = None
+        keypoints = None
         if self.conf.roi.mask_on:
             mp = pool_mask_features(self.conf.roi, feats, self._strides(), dets.boxes)
             mlogits = self.roi.mask_forward(mp, train=False)
             masks = mask_inference(mlogits, dets.classes, self.conf.roi.num_classes)
+        if self.conf.roi.keypoint_on:
+            kp = pool_keypoint_features(self.conf.roi, feats, self._strides(), dets.boxes)
+            klogits = self.roi.keypoint_forward(kp, train=False)
+            keypoints = keypoint_inference(klogits, dets.boxes)
+        if masks is not None or keypoints is not None:
             dets = Detections(
                 boxes=dets.boxes, scores=dets.scores, classes=dets.classes,
-                valid=dets.valid, mask_logits=masks,
+                valid=dets.valid, mask_logits=masks, keypoints=keypoints,
             )
         return dets
 
@@ -162,6 +172,14 @@ class FasterRCNN(nn.Module):
                 gt_idx[:, :k],
                 classes[:, :k],
                 is_fg[:, :k],
+            )
+        if self.conf.roi.keypoint_on and gt.keypoints is not None:
+            kk = self.conf.roi.keypoint_rois
+            kboxes = boxes[:, :kk]
+            kp = pool_keypoint_features(self.conf.roi, feats, self._strides(), kboxes)
+            klogits = self.roi.keypoint_forward(kp, train=True)
+            losses["loss_keypoint"] = keypoint_rcnn_loss(
+                self.conf.roi, klogits, gt.keypoints, kboxes, gt_idx[:, :kk], is_fg[:, :kk]
             )
         metrics = {**rpn_metrics, **roi_metrics}
         return losses, metrics

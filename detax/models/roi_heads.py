@@ -67,6 +67,14 @@ class StandardROIHeads(nn.Module):
                 num_classes=self.conf.num_classes, num_convs=m.num_convs,
                 conv_dim=m.conv_dim, dtype=self.dtype,
             )
+        if self.conf.keypoint_on:
+            from detax.nn.keypoint_head import KeypointRCNNHead
+
+            k = self.conf.keypoint_head
+            self.keypoint_head = KeypointRCNNHead(
+                num_keypoints=k.num_keypoints, num_convs=k.num_convs,
+                conv_dim=k.conv_dim, dtype=self.dtype,
+            )
 
     def __call__(self, pooled: Array, train: bool = False) -> Tuple[Array, Array]:
         return self.box_predictor(self.box_head(pooled, train=train))
@@ -74,6 +82,10 @@ class StandardROIHeads(nn.Module):
     def mask_forward(self, pooled: Array, train: bool = False) -> Array:
         """(…, 14, 14, C) mask-pooled features → (…, 28, 28, num_classes)."""
         return self.mask_head(pooled, train=train)
+
+    def keypoint_forward(self, pooled: Array, train: bool = False) -> Array:
+        """(…, 14, 14, C) → (…, 56, 56, K) keypoint heatmap logits."""
+        return self.keypoint_head(pooled, train=train)
 
 
 def pool_features(
@@ -382,6 +394,79 @@ def mask_rcnn_loss(
     loss = bce_with_logits(logits, targets) * is_fg[:, :, None, None]
     denom = jnp.maximum(jnp.sum(is_fg) * oh * ow, 1.0)
     return jnp.sum(loss) / denom * conf.loss_mask_weight
+
+
+def pool_keypoint_features(
+    conf: ROIConf,
+    features: Dict[str, Array],
+    feature_strides: Dict[str, int],
+    boxes: Array,
+) -> Array:
+    feats = [features[f] for f in conf.in_features]
+    strides = [feature_strides[f] for f in conf.in_features]
+    p = conf.keypoint_pooler
+    return multiscale_roi_align(
+        feats,
+        boxes,
+        strides,
+        output_size=p.output_size,
+        sampling_ratio=p.sampling_ratio,
+        aligned=p.type == "ROIAlignV2",
+        canonical_box_size=p.canonical_box_size,
+        canonical_level=p.canonical_level,
+    )
+
+
+def keypoint_rcnn_loss(
+    conf: ROIConf,
+    kp_logits: Array,
+    gt_keypoints: Array,
+    boxes: Array,
+    gt_index: Array,
+    is_fg: Array,
+) -> Array:
+    """Keypoint heatmap loss: CE over the flattened H*W softmax at each
+    visible keypoint's cell (Keypoint R-CNN recipe).
+
+    kp_logits: ``(B, S, H, W, K)``; gt_keypoints ``(B, G, K, 3)`` (x, y, v).
+    """
+    b, s, hh, ww, k = kp_logits.shape
+    kp = jnp.take_along_axis(
+        gt_keypoints, gt_index[:, :, None, None].astype(jnp.int32), axis=1
+    )  # (B, S, K, 3)
+    x1, y1 = boxes[..., 0:1], boxes[..., 1:2]
+    w = jnp.maximum(boxes[..., 2:3] - x1, 1e-4)
+    h = jnp.maximum(boxes[..., 3:4] - y1, 1e-4)
+    cx = jnp.floor((kp[..., 0] - x1) * ww / w).astype(jnp.int32)
+    cy = jnp.floor((kp[..., 1] - y1) * hh / h).astype(jnp.int32)
+    inside = (cx >= 0) & (cx < ww) & (cy >= 0) & (cy < hh)
+    visible = (kp[..., 2] > 0) & inside & is_fg[..., None]  # (B, S, K)
+    target = jnp.clip(cy, 0, hh - 1) * ww + jnp.clip(cx, 0, ww - 1)  # (B, S, K)
+
+    flat = kp_logits.reshape(b, s, hh * ww, k).swapaxes(-1, -2)  # (B, S, K, H*W)
+    logp = jax.nn.log_softmax(flat, axis=-1)
+    picked = jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(visible), 1.0)
+    return -jnp.sum(picked * visible) / denom * conf.loss_keypoint_weight
+
+
+def keypoint_inference(kp_logits: Array, boxes: Array) -> Array:
+    """Heatmap argmax → (x, y, score) per keypoint in canvas coords.
+
+    kp_logits: ``(B, N, H, W, K)``; boxes ``(B, N, 4)`` → ``(B, N, K, 3)``.
+    """
+    b, n, hh, ww, k = kp_logits.shape
+    flat = kp_logits.reshape(b, n, hh * ww, k)
+    idx = jnp.argmax(flat, axis=2)  # (B, N, K)
+    score = jnp.max(flat, axis=2)
+    cy = (idx // ww).astype(jnp.float32) + 0.5
+    cx = (idx % ww).astype(jnp.float32) + 0.5
+    x1, y1 = boxes[..., 0:1], boxes[..., 1:2]
+    w = boxes[..., 2:3] - x1
+    h = boxes[..., 3:4] - y1
+    x = x1 + cx * w / ww
+    y = y1 + cy * h / hh
+    return jnp.stack([x, y, score], axis=-1)
 
 
 def mask_inference(mask_logits: Array, classes: Array, num_classes: int) -> Array:

@@ -38,6 +38,8 @@ class Detections:
     valid: Array
     # optional (B, N, mh, mw) per-detection mask logits (Mask R-CNN)
     mask_logits: Optional[Array] = None
+    # optional (B, N, K, 3) per-detection keypoints (x, y, score)
+    keypoints: Optional[Array] = None
 
     @property
     def capacity(self) -> int:
@@ -88,6 +90,8 @@ class GroundTruth:
     # optional (B, G, mh, mw) instance bitmaps in canvas coords at a fixed
     # stride (see PreprocessConf) for the mask loss
     masks: Optional[Array] = None
+    # optional (B, G, K, 3) keypoints (x, y, visibility) in canvas coords
+    keypoints: Optional[Array] = None
 
     @property
     def capacity(self) -> int:
