@@ -34,18 +34,30 @@ WARMUP = 3
 ITERS = 20
 
 
-def main() -> None:
-    import jax
+def _build(which: str):
     import jax.numpy as jnp
 
-    from detax.configs import FasterRCNNConf, PreprocessConf
-    from detax.models import FasterRCNN
-    from detax.structures.image_batch import ImageBatch
+    from detax.configs import (
+        FasterRCNNConf,
+        FPNConf,
+        PreprocessConf,
+        ResNetConf,
+        RetinaNetConf,
+        YOLOConf,
+    )
+    from detax.models import FasterRCNN, RetinaNet, YOLO
 
-    # TPU serving profile: Pallas NMS, 1000/level pre-NMS, the original
-    # Faster R-CNN test-time 300 proposals, sampling_ratio 1 (quality-
-    # equivalent standard settings; reference *defaults* stay on the exact
-    # parity path)
+    if which == "retinanet":
+        conf = RetinaNetConf(preprocess=PreprocessConf(image_size=SIZE), nms_impl="pallas")
+        return RetinaNet(conf=conf, dtype=jnp.bfloat16), "RetinaNet R50-FPN"
+    if which == "yolo":
+        conf = YOLOConf(preprocess=PreprocessConf(image_size=SIZE), nms_impl="pallas")
+        return YOLO(conf=conf, dtype=jnp.bfloat16), "YOLO R18 3-stride"
+
+    # flagship TPU serving profile: Pallas NMS, 1000/level pre-NMS, the
+    # original Faster R-CNN test-time 300 proposals, sampling_ratio 1
+    # (quality-equivalent standard settings; reference *defaults* stay on
+    # the exact parity path)
     base = FasterRCNNConf(preprocess=PreprocessConf(image_size=SIZE))
     conf = base.replace(
         rpn=base.rpn.replace(
@@ -56,7 +68,17 @@ def main() -> None:
             box_pooler=base.roi.box_pooler.replace(sampling_ratio=1),
         ),
     )
-    model = FasterRCNN(conf=conf, dtype=jnp.bfloat16)
+    return FasterRCNN(conf=conf, dtype=jnp.bfloat16), "Faster R-CNN R18-FPN"
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from detax.structures.image_batch import ImageBatch
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "frcnn"
+    model, name = _build(which)
 
     rng = np.random.RandomState(0)
     pixels = jnp.asarray(rng.randn(BATCH, SIZE, SIZE, 3), jnp.float32)
@@ -88,7 +110,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "images/sec/chip @ 640x640 batched inference (Faster R-CNN R18-FPN, bf16, Pallas NMS)",
+                "metric": f"images/sec/chip @ 640x640 batched inference ({name}, bf16, Pallas NMS)",
                 "value": round(images_per_sec, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 4),

@@ -31,13 +31,16 @@ class RetinaNetConf(BaseConf):
         out_channels=256,
     )
     head: RetinaNetHeadConf = RetinaNetHeadConf()
+    # standard RetinaNet runs its towers from stride 8 up (P3..P7 in FPN-paper
+    # naming); detax's pyramid names are p1=stride4 .. p5=stride64, so the
+    # head consumes p2..p5 — running the 4-conv 256ch towers on the stride-4
+    # map would cost ~1 TFLOP/image
     anchor_generator: AnchorGeneratorConf = AnchorGeneratorConf(
         sizes=(
             (32.0, 40.32, 50.8),
             (64.0, 80.63, 101.59),
             (128.0, 161.26, 203.19),
             (256.0, 322.54, 406.37),
-            (512.0, 645.08, 812.75),
         ),
         aspect_ratios=((0.5, 1.0, 2.0),),
     )
@@ -47,7 +50,7 @@ class RetinaNetConf(BaseConf):
     box2box_transform: Box2BoxTransformConf = Box2BoxTransformConf()
     preprocess: PreprocessConf = PreprocessConf()
     num_classes: int = 80
-    in_features: Tuple[str, ...] = ("p1", "p2", "p3", "p4", "p5")
+    in_features: Tuple[str, ...] = ("p2", "p3", "p4", "p5")
     focal_loss_alpha: float = 0.25
     focal_loss_gamma: float = 2.0
     smooth_l1_beta: float = 0.0

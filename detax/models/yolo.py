@@ -88,17 +88,19 @@ class YOLO(nn.Module):
         for lvl, (r, hw) in enumerate(zip(raw, hws)):
             anchors_wh = jnp.asarray(c.head.anchors[lvl], jnp.float32)
             boxes, obj, cls = _decode_level(r, anchors_wh, c.head.strides[lvl], hw)
-            score = jax.nn.sigmoid(obj)[..., None] * jax.nn.sigmoid(cls)  # (B, R, C)
-            b, rr, nc = score.shape
-            flat = score.reshape(b, rr * nc)
-            k = min(c.topk_candidates, rr * nc)
-            sc, flat_idx = jax.lax.top_k(flat, k)
-            a_idx = flat_idx // nc
-            cls_idx = (flat_idx % nc).astype(jnp.int32)
+            # classic YOLO decode: one (best) class per anchor, then top-k
+            # over anchors only — a top-k over the full anchors x classes
+            # grid would sort ~1.5M keys per level on TPU
+            best_cls = jnp.argmax(cls, axis=-1).astype(jnp.int32)  # (B, R)
+            best_logit = jnp.max(cls, axis=-1)
+            score = jax.nn.sigmoid(obj) * jax.nn.sigmoid(best_logit)  # (B, R)
+            b, rr = score.shape
+            k = min(c.topk_candidates, rr)
+            sc, a_idx = jax.lax.top_k(score, k)
             bx = jnp.take_along_axis(boxes, a_idx[..., None], axis=1)
             cand_boxes.append(bx)
             cand_scores.append(sc)
-            cand_classes.append(cls_idx)
+            cand_classes.append(jnp.take_along_axis(best_cls, a_idx, axis=1))
 
         boxes = jnp.concatenate(cand_boxes, axis=1)
         scores = jnp.concatenate(cand_scores, axis=1)
