@@ -152,7 +152,16 @@ class DetectionService:
             sizes = np.full((nb, 2), 1.0, np.float32)
             scales = np.ones((nb,), np.float32)
             for i in range(n):
-                img = decode_request(payloads[i])
+                raw = payloads[i]
+                if bytes(raw[:2]) == b"\xff\xd8":  # JPEG: native decode+letterbox
+                    from detax.serve.loader import decode_letterbox
+
+                    canvas, scale, nh, nw = decode_letterbox(bytes(raw), size)
+                    pixels[i] = canvas
+                    sizes[i] = (nh, nw)
+                    scales[i] = scale
+                    continue
+                img = decode_request(raw)
                 h0, w0 = img.shape[:2]
                 scale = min(size / h0, size / w0)
                 nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
@@ -209,11 +218,17 @@ def serve(service: DetectionService, port: int = 8500) -> ThreadingHTTPServer:
                 self.end_headers()
                 return
             try:
-                shape = tuple(int(x) for x in self.headers["X-Image-Shape"].split(","))
                 length = int(self.headers["Content-Length"])
                 raw = self.rfile.read(length)
-                img = np.frombuffer(raw, np.uint8).reshape(shape)
-                result = service.detect(img)
+                if self.headers.get("Content-Type") == "image/jpeg" or raw[:2] == b"\xff\xd8":
+                    # JPEG path: ship the compressed bytes to the runner,
+                    # which decodes natively (libjpeg)
+                    rid = service.batcher.submit(raw)
+                    result = json.loads(service.batcher.wait_result(rid).decode())
+                else:
+                    shape = tuple(int(x) for x in self.headers["X-Image-Shape"].split(","))
+                    img = np.frombuffer(raw, np.uint8).reshape(shape)
+                    result = service.detect(img)
                 body = json.dumps(result).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
