@@ -86,3 +86,18 @@ def test_logs_put_metrics_from_device_arrays():
     logs = Logs()
     logs.put_metrics({"total_loss": jnp.asarray(1.5), "roi_head/num_fg_samples": jnp.asarray(3.0)})
     assert logs.latest()["total_loss"][0] == 1.5
+
+
+def test_logs_write_jsonl(tmp_path):
+    import json
+
+    logs = Logs()
+    path = str(tmp_path / "metrics.jsonl")
+    for v in [1.0, 2.0]:
+        logs.put_metrics({"total_loss": v})
+        logs.write_jsonl(path)
+        logs.step()
+    rows = [json.loads(l) for l in open(path)]
+    assert len(rows) == 2
+    assert rows[0]["iter"] == 0 and rows[1]["iter"] == 1
+    assert rows[1]["total_loss"] == 2.0
