@@ -54,10 +54,10 @@ def _build(which: str):
         conf = YOLOConf(preprocess=PreprocessConf(image_size=SIZE), nms_impl="pallas")
         return YOLO(conf=conf, dtype=jnp.bfloat16), "YOLO R18 3-stride"
 
-    # flagship TPU serving profile: Pallas NMS, 1000/level pre-NMS, the
-    # original Faster R-CNN test-time 300 proposals, sampling_ratio 1
-    # (quality-equivalent standard settings; reference *defaults* stay on
-    # the exact parity path)
+    # flagship TPU serving profile: Pallas NMS, Pallas window-DMA ROIAlign,
+    # 1000/level pre-NMS, the original Faster R-CNN test-time 300 proposals,
+    # sampling_ratio 1 (quality-equivalent standard settings; reference
+    # *defaults* stay on the exact parity path)
     base = FasterRCNNConf(preprocess=PreprocessConf(image_size=SIZE))
     conf = base.replace(
         rpn=base.rpn.replace(
@@ -65,7 +65,7 @@ def _build(which: str):
         ),
         roi=base.roi.replace(
             nms_impl="pallas",
-            box_pooler=base.roi.box_pooler.replace(sampling_ratio=1),
+            box_pooler=base.roi.box_pooler.replace(sampling_ratio=1, impl="pallas"),
         ),
     )
     return FasterRCNN(conf=conf, dtype=jnp.bfloat16), "Faster R-CNN R18-FPN"

@@ -1,152 +1,201 @@
 """Pallas TPU kernel for multi-level ROIAlign — window-DMA + MXU interp.
 
 The XLA gather formulation (``detax.ops.roi_align.multiscale_roi_align``) is
-bound by TPU gather row rate (~60M rows/s measured): 7x7x2x2 samples x 1000
-proposals x batch = millions of row fetches per step. This kernel exploits
-the structure FPN level assignment guarantees: a box at its assigned level
-spans < 28 feature cells per side (``s/stride ∈ [14, 28)`` between the
-canonical thresholds, ≤ map size at the clamped ends — reference
-``assign_boxes_to_levels``, ``roi_poolers.py:103-131``). So every box's
-entire bilinear footprint fits a fixed 32x32 cell window:
+bound by TPU gather row rate (~20M rows/s measured on v5e): 7x7xr² samples
+per box x thousands of proposals = hundreds of thousands of row fetches per
+batch.  This kernel exploits the structure FPN level assignment guarantees: a
+box at its assigned level spans < 28 feature cells per side
+(``s/stride ∈ [14, 28)`` between the canonical thresholds, ≤ map size at the
+clamped ends — reference ``assign_boxes_to_levels``,
+``roi_poolers.py:103-131``), so every box's entire bilinear footprint fits a
+fixed window of cells:
 
-  per box: ONE strided DMA copies the (32, 32, C) window HBM→VMEM
-  (double-buffered across boxes), then the 7x7x(r x r) bilinear reduce
-  becomes two tiny MXU matmuls with per-axis interpolation matrices
-  A_y (14, 32), A_x (14, 32) built in-register from the box coordinates.
+  per box, ONE strided DMA copies the (32, 40, C) window HBM→VMEM (4-deep
+  ring-buffered across boxes), and the pooled 7x7 bilinear reduce collapses
+  to a single MXU matmul
+
+      out = M @ win_flat,   M = kron(Wy, Wx) ∈ (56, 1280),
+                            win_flat = window.reshape(32·40, C)
+
+  where Wy (8x32) / Wx (7x40) are the per-axis *pooled* bilinear weight rows
+  (bin-averaged over the r sub-samples — pooling is linear, so folding it
+  into the weights is exact).  Wy/Wx are precomputed exactly in XLA
+  (fp32, torchvision border/edge rules) and streamed in pre-expanded row
+  form; the kron expansion along the 1280 lanes happens in-kernel:
+  ``a1 = pltpu.repeat(wx56, 32, lanes)`` (tile pattern, j % 40) and
+  ``a2 = wy56 @ T`` with the constant 0/1 block-selector ``T[y, j] =
+  (j // 40 == y)`` — the block pattern Mosaic's tile-semantics repeat can't
+  produce.
+
+Mosaic constraints honoured (probed on this toolchain):
+  - reshapes may only collapse leading dims into sublanes
+    (``(32,40,128)→(1280,128)`` ok; anything merging into the 128-lane dim
+    is rejected), no 3-D ``dot_general``;
+  - manual-DMA slices must cover whole lane tiles → channels are padded to
+    a multiple of 128 by the wrapper;
+  - for sub-fp32 dtypes the second-to-last dim is sublane-tiled (8), so the
+    window's x-origin must be provably 8-aligned → x0 is rounded down to a
+    multiple of 8 (``pl.multiple_of``) and the x-window is 40 wide
+    (28-cell span + bilinear margin + ≤7 alignment drift);
+  - fp32 inputs must not be decomposed into bf16 MXU passes (the default!)
+    → the fp32 path requests ``Precision.HIGHEST`` (it is the parity/test
+    path; serving runs bf16 at the fast default).
 
 Semantics are identical to the gather path / torchvision ``roi_align``
-(aligned=True, fixed sampling_ratio) — verified in tests against the same
-oracles. Levels whose maps are smaller than the window (p4 at 640: 20x20)
-are zero-padded to 32 by the host-side wrapper.
+(aligned=True, fixed sampling_ratio) except for the window-fitting level
+assignment (``max_side_cells = 28``) which only affects aspect-ratio ≳ 2
+boxes near level boundaries — verified in tests against the same oracles.
+Levels whose padded maps are smaller than the window are zero-padded by the
+host-side wrapper.
 """
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WINDOW = 32
+WIN_Y = 32  # rows: offset-free (leading dim), 28-cell span + margin
+WIN_X = 40  # cols: 28-cell span + margin + ≤7 cells of 8-alignment drift
+X_ALIGN = 8
 BOXES_PER_PROGRAM = 32
+RING = 4  # in-flight window DMAs
+_PH = 7  # kernel is specialised for 7x7 output (the reference contract)
+_ROWS = 56  # padded kron rows: 8 (padded ph) x 7 (pw)
 
 
-def _kernel_factory(num_levels: int, ph: int, pw: int, r: int, c: int):
-    s_y = ph * r  # y-sample count
-    s_x = pw * r
-
-    def kernel(ints_ref, flts_ref, *refs):
-        # refs: num_levels feature refs (HBM), out_ref, window scratch (2, W, W, C), sems (2,)
+def _kernel_factory(num_levels: int, c: int, p: int, out_dtype):
+    def kernel(ints_ref, wy_ref, wx_ref, t_ref, *refs):
+        # refs: num_levels feature refs (ANY/HBM), out_ref,
+        #       window scratch (RING, WIN_Y, WIN_X, C), sems (RING,)
         feat_refs = refs[:num_levels]
         out_ref = refs[num_levels]
         window = refs[num_levels + 1]
         sems = refs[num_levels + 2]
 
-        p = ints_ref.shape[0]
+        def dma(j, slot):
+            bidx = ints_ref[j, 0]
+            y0 = ints_ref[j, 1]
+            # x0 is pre-aligned on the host side; re-derive the alignment in
+            # kernel so Mosaic can prove divisibility by the sublane tiling
+            x0 = pl.multiple_of((ints_ref[j, 2] // X_ALIGN) * X_ALIGN, X_ALIGN)
+            level = ints_ref[j, 3]
+            copies = []
+            for l in range(num_levels):
+                copies.append(
+                    pltpu.make_async_copy(
+                        feat_refs[l].at[bidx, pl.ds(y0, WIN_Y), pl.ds(x0, WIN_X), :],
+                        window.at[slot],
+                        sems.at[slot],
+                    )
+                )
+            return level, copies
 
         def start_dma(j, slot):
-            bidx = ints_ref[j, 0]
-            y0 = ints_ref[j, 1]
-            x0 = ints_ref[j, 2]
-            level = ints_ref[j, 3]
+            level, copies = dma(j, slot)
             for l in range(num_levels):
                 @pl.when(level == l)
                 def _():
-                    pltpu.make_async_copy(
-                        feat_refs[l].at[bidx, pl.ds(y0, WINDOW), pl.ds(x0, WINDOW), :],
-                        window.at[slot],
-                        sems.at[slot],
-                    ).start()
+                    copies[l].start()
 
         def wait_dma(j, slot):
-            bidx = ints_ref[j, 0]
-            y0 = ints_ref[j, 1]
-            x0 = ints_ref[j, 2]
-            level = ints_ref[j, 3]
+            level, copies = dma(j, slot)
             for l in range(num_levels):
                 @pl.when(level == l)
                 def _():
-                    pltpu.make_async_copy(
-                        feat_refs[l].at[bidx, pl.ds(y0, WINDOW), pl.ds(x0, WINDOW), :],
-                        window.at[slot],
-                        sems.at[slot],
-                    ).wait()
+                    copies[l].wait()
 
-        def interp_matrix(start, binsz, origin, size, n_samples):
-            """(n_samples, WINDOW) bilinear weight matrix for one axis.
+        # fp32 inputs (the parity/test path) must not be decomposed into
+        # bf16 MXU passes — request HIGHEST; bf16 inputs (serving) keep the
+        # fast default.
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if jnp.dtype(out_dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
 
-            start: first sample coord (feature units, global); binsz: bin
-            size; origin: window origin (float); size: level extent (float).
-            torchvision border + at-edge conventions.
-            """
-            q = jax.lax.broadcasted_iota(jnp.int32, (n_samples, 1), 0)[:, 0].astype(jnp.float32)
-            # sample position: start + bin * (q//r + ((q%r)+0.5)/r)
-            qb = jnp.floor(q / r)
-            qs = q - qb * r
-            g = start + binsz * (qb + (qs + 0.5) / r)  # global coords
-            in_range = (g >= -1.0) & (g <= size)
-            gc = jnp.maximum(g, 0.0)
-            low = jnp.floor(gc)
-            at_edge = low >= size - 1.0
-            low = jnp.where(at_edge, size - 1.0, low)
-            high = jnp.where(at_edge, low, low + 1.0)
-            gc = jnp.where(at_edge, low, gc)
-            frac = gc - low
-            w_low = (1.0 - frac) * in_range
-            w_high = frac * in_range
-            low_w = jnp.clip(low - origin, 0.0, WINDOW - 1.0)
-            high_w = jnp.clip(high - origin, 0.0, WINDOW - 1.0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (n_samples, WINDOW), 1).astype(jnp.float32)
-            return w_low[:, None] * (cols == low_w[:, None]) + w_high[:, None] * (
-                cols == high_w[:, None]
-            )
+        # On the bf16 serving path the whole M build runs in bf16 (a fp32
+        # matmul on the MXU decomposes into several bf16 passes and would
+        # cost as much as the main matmul; M is cast to bf16 for the main
+        # matmul anyway, so nothing is lost).  T is 0/1 — exact in bf16.
+        mm_dtype = jnp.float32 if jnp.dtype(out_dtype) == jnp.float32 else out_dtype
 
         def compute(j, slot):
-            y_start = flts_ref[j, 0]
-            x_start = flts_ref[j, 1]
-            bin_h = flts_ref[j, 2]
-            bin_w = flts_ref[j, 3]
-            y0f = flts_ref[j, 4]
-            x0f = flts_ref[j, 5]
-            h_f = flts_ref[j, 6]
-            w_f = flts_ref[j, 7]
+            wy = wy_ref[pl.ds(j * _ROWS, _ROWS), :]  # (56, WIN_Y) fp32, rows i//7
+            wx = wx_ref[pl.ds(j * _ROWS, _ROWS), :]  # (56, WIN_X) fp32, rows i%7
+            # pltpu.repeat on the lane axis has TILE semantics (the whole row
+            # repeated): a1[i, j] = wx[i, j % WIN_X] → the x factor.  The y
+            # factor (j // WIN_X, a block pattern) comes from the constant
+            # 0/1 block-selector matmul: a2[i, j] = wy[i, j // WIN_X].
+            a1 = pltpu.repeat(wx.astype(mm_dtype), WIN_Y, axis=1)  # (56, Y*X)
+            a2 = jnp.dot(
+                wy.astype(mm_dtype),
+                t_ref[:].astype(mm_dtype),
+                preferred_element_type=jnp.float32,  # MXU acc must be 32-bit
+                precision=precision,
+            )
+            m = a1 * a2.astype(mm_dtype)  # (56, WIN_Y*WIN_X) = kron(Wy, Wx)
+            win = window[slot].reshape(WIN_Y * WIN_X, c)
+            out = jnp.dot(
+                m.astype(win.dtype),
+                win,
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )  # (56, C)
+            out_ref[pl.ds(j * _ROWS, _ROWS), :] = out.astype(out_dtype)
 
-            a_y = interp_matrix(y_start, bin_h, y0f, h_f, s_y)  # (s_y, W)
-            a_x = interp_matrix(x_start, bin_w, x0f, w_f, s_x)  # (s_x, W)
+        for k in range(RING - 1):
+            start_dma(k, k)
 
-            win = window[slot].astype(jnp.float32)  # (W, W, C)
-            tmp = jnp.dot(
-                a_y, win.reshape(WINDOW, WINDOW * c), preferred_element_type=jnp.float32
-            )  # (s_y, W*C)
-            tmp = tmp.reshape(s_y, WINDOW, c).swapaxes(0, 1).reshape(WINDOW, s_y * c)
-            out = jnp.dot(a_x, tmp, preferred_element_type=jnp.float32)  # (s_x, s_y*C)
-            out = out.reshape(s_x, s_y, c).swapaxes(0, 1)  # (s_y, s_x, C)
-            # average the r x r sub-samples per bin
-            out = out.reshape(ph, r, pw, r, c).mean(axis=(1, 3))
-            out_ref[j] = out.astype(out_ref.dtype)
-
-        start_dma(0, 0)
-
-        def body(j, _):
-            slot = jax.lax.rem(j, 2)
-            nxt = jax.lax.rem(j + 1, 2)
-
-            @pl.when(j + 1 < p)
-            def _():
-                start_dma(j + 1, nxt)
-
+        # fully unrolled: j and the ring slot are compile-time constants, so
+        # scratch indexing is static and Mosaic can software-pipeline the
+        # independent per-box chains
+        for j in range(p):
+            slot = j % RING
+            if j + RING - 1 < p:
+                start_dma(j + RING - 1, (j + RING - 1) % RING)
             wait_dma(j, slot)
             compute(j, slot)
-            return 0
-
-        jax.lax.fori_loop(0, p, body, 0)
 
     return kernel
+
+
+def _axis_weights(start, binsz, origin, size, ph, r, width):
+    """Pooled per-axis bilinear weight rows, exact torchvision semantics.
+
+    start/binsz/origin/size: (N,) box geometry in feature coords (global).
+    Returns (N, ph, width) fp32: row py = (1/r) Σ_sub bilinear taps of the
+    r sub-samples of bin py, indexed window-relative.
+    """
+    n = start.shape[0]
+    s = ph * r
+    q = jnp.arange(s, dtype=jnp.float32)
+    qb = jnp.floor(q / r)
+    qs = q - qb * r
+    g = start[:, None] + binsz[:, None] * (qb + (qs + 0.5) / r)[None, :]  # (N, S)
+    in_range = (g >= -1.0) & (g <= size[:, None])
+    gc = jnp.maximum(g, 0.0)
+    low = jnp.floor(gc)
+    at_edge = low >= size[:, None] - 1.0
+    low = jnp.where(at_edge, size[:, None] - 1.0, low)
+    high = jnp.where(at_edge, low, low + 1.0)
+    gc = jnp.where(at_edge, low, gc)
+    frac = gc - low
+    w_low = jnp.where(in_range, 1.0 - frac, 0.0)
+    w_high = jnp.where(in_range, frac, 0.0)
+    low_w = jnp.clip(low - origin[:, None], 0.0, width - 1.0)
+    high_w = jnp.clip(high - origin[:, None], 0.0, width - 1.0)
+    cols = jnp.arange(width, dtype=jnp.float32)[None, None, :]
+    a = w_low[..., None] * (cols == low_w[..., None]) + w_high[..., None] * (
+        cols == high_w[..., None]
+    )  # (N, S, width)
+    return a.reshape(n, ph, r, width).mean(axis=2)
 
 
 def multiscale_roi_align_pallas(
@@ -169,22 +218,25 @@ def multiscale_roi_align_pallas(
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    ph, pw = output_size
+    assert (ph, pw) == (_PH, _PH), "pallas pooler is specialised for 7x7 output"
     b, r_boxes = boxes.shape[0], boxes.shape[1]
     c = features[0].shape[-1]
     dtype = features[0].dtype
-    ph, pw = output_size
     r = sampling_ratio
     levels = [int(math.log2(s)) for s in strides]
     min_level, max_level = levels[0], levels[-1]
     num_levels = len(features)
 
-    # pad small maps so a 32x32 window always exists
+    # pad small maps so the window always exists, and pad channels to the
+    # 128-lane tile (Mosaic: manual-DMA slices must cover whole lane tiles)
+    c_pad = -(-c // 128) * 128
     feats = []
     for f in features:
-        pad_h = max(0, WINDOW - f.shape[1])
-        pad_w = max(0, WINDOW - f.shape[2])
-        if pad_h or pad_w:
-            f = jnp.pad(f, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        pad_h = max(0, WIN_Y - f.shape[1])
+        pad_w = max(0, WIN_X - f.shape[2])
+        if pad_h or pad_w or c_pad != c:
+            f = jnp.pad(f, ((0, 0), (0, pad_h), (0, pad_w), (0, c_pad - c)))
         feats.append(f)
 
     heights = jnp.array([f.shape[1] for f in features], jnp.float32)  # true extents
@@ -194,14 +246,14 @@ def multiscale_roi_align_pallas(
     scales = jnp.array([1.0 / s for s in strides], jnp.float32)
 
     # span-aware bump: the longer side must fit the window (28 cells + the
-    # bilinear margin ≤ 32); matches the gather path when it is given the
-    # same max_side_cells
+    # bilinear margin); matches the gather path when it is given the same
+    # max_side_cells
     lvl = assign_boxes_to_levels(
         boxes, min_level, max_level, canonical_box_size, canonical_level,
-        max_side_cells=WINDOW - 4,
+        max_side_cells=28,
     )
     lvl_idx = (lvl - min_level).reshape(-1)  # (N,)
-    flat_boxes = boxes.reshape(-1, 4)
+    flat_boxes = jnp.nan_to_num(boxes.reshape(-1, 4))  # padded slots may be junk
     n = flat_boxes.shape[0]
 
     scale = jnp.take(scales, lvl_idx)
@@ -214,37 +266,53 @@ def multiscale_roi_align_pallas(
 
     h_true = jnp.take(heights, lvl_idx)
     w_true = jnp.take(widths, lvl_idx)
-    y0 = jnp.clip(jnp.floor(y1), 0, jnp.take(pad_heights, lvl_idx).astype(jnp.float32) - WINDOW)
-    x0 = jnp.clip(jnp.floor(x1), 0, jnp.take(pad_widths, lvl_idx).astype(jnp.float32) - WINDOW)
+    y0 = jnp.clip(jnp.floor(y1), 0, jnp.take(pad_heights, lvl_idx).astype(jnp.float32) - WIN_Y)
+    x0 = jnp.clip(jnp.floor(x1), 0, jnp.take(pad_widths, lvl_idx).astype(jnp.float32) - WIN_X)
+    x0 = jnp.floor(x0 / X_ALIGN) * X_ALIGN  # provable 8-alignment for the DMA
+
+    wy = _axis_weights(y1, bin_h, y0, h_true, ph, r, WIN_Y)  # (N, 7, WIN_Y)
+    wx = _axis_weights(x1, bin_w, x0, w_true, pw, r, WIN_X)  # (N, 7, WIN_X)
+    wy8 = jnp.pad(wy, ((0, 0), (0, 1), (0, 0)))  # pad py to 8
+    wy56 = jnp.repeat(wy8, _PH, axis=1)  # (N, 56, WIN_Y): row i = wy8[i//7]
+    wx56 = jnp.tile(wx, (1, 8, 1))  # (N, 56, WIN_X): row i = wx[i%7]
 
     bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r_boxes)
     ints = jnp.stack(
         [bidx, y0.astype(jnp.int32), x0.astype(jnp.int32), lvl_idx.astype(jnp.int32)], axis=1
     )  # (N, 4)
-    flts = jnp.stack([y1, x1, bin_h, bin_w, y0, x0, h_true, w_true], axis=1)  # (N, 8)
 
     p = BOXES_PER_PROGRAM
     n_pad = ((n + p - 1) // p) * p
     if n_pad != n:
         ints = jnp.pad(ints, ((0, n_pad - n), (0, 0)))
-        flts = jnp.pad(flts, ((0, n_pad - n), (0, 0)), constant_values=1.0)
+        wy56 = jnp.pad(wy56, ((0, n_pad - n), (0, 0), (0, 0)))
+        wx56 = jnp.pad(wx56, ((0, n_pad - n), (0, 0), (0, 0)))
     grid = n_pad // p
 
-    kernel = _kernel_factory(num_levels, ph, pw, r, c)
+    # constant lane block-selector T[y, j] = (j // WIN_X == y)
+    t_sel = jnp.asarray(
+        (np.arange(WIN_Y * WIN_X)[None, :] // WIN_X) == np.arange(WIN_Y)[:, None],
+        jnp.float32,
+    )
+
+    kernel = _kernel_factory(num_levels, c_pad, p, dtype)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((p, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((p, 8), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((p * _ROWS, WIN_Y), lambda i: (i, 0)),
+            pl.BlockSpec((p * _ROWS, WIN_X), lambda i: (i, 0)),
+            pl.BlockSpec((WIN_Y, WIN_Y * WIN_X), lambda i: (0, 0)),
         ]
         + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
-        out_specs=pl.BlockSpec((p, ph, pw, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, ph, pw, c), dtype),
+        out_specs=pl.BlockSpec((p * _ROWS, c_pad), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad * _ROWS, c_pad), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, WINDOW, WINDOW, c), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((RING, WIN_Y, WIN_X, c_pad), dtype),
+            pltpu.SemaphoreType.DMA((RING,)),
         ],
         interpret=interpret,
-    )(ints, flts, *feats)
-    return out[:n].reshape(b, r_boxes, ph, pw, c)
+    )(ints, wy56.reshape(n_pad * _ROWS, WIN_Y), wx56.reshape(n_pad * _ROWS, WIN_X), t_sel, *feats)
+    out = out.reshape(n_pad, 8, _PH, c_pad)[:n, :_PH, :, :c]  # drop pad row/lanes
+    return out.reshape(b, r_boxes, ph, pw, c)
