@@ -28,7 +28,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 5000.0
-BATCH = 32
+BATCH = 128
 SIZE = 640
 WARMUP = 3
 ITERS = 20
@@ -61,7 +61,10 @@ def _build(which: str):
     base = FasterRCNNConf(preprocess=PreprocessConf(image_size=SIZE))
     conf = base.replace(
         rpn=base.rpn.replace(
-            pre_nms_topk=(2000, 1000), post_nms_topk=(2000, 300), nms_impl="pallas"
+            pre_nms_topk=(2000, 1000),
+            post_nms_topk=(2000, 300),
+            nms_impl="pallas",
+            topk_impl="approx",
         ),
         roi=base.roi.replace(
             nms_impl="pallas",

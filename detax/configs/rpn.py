@@ -69,3 +69,9 @@ class RegionProposalNetworkConf(BaseConf):
     # "xla" (lax.scan greedy, runs everywhere) | "pallas" (blocked TPU kernel,
     # per-level batched — the fast path; interpreter-mode on CPU)
     nms_impl: str = "xla"
+    # pre-NMS candidate selection: "exact" (lax.top_k, full sort — the parity
+    # path) | "approx" (lax.approx_max_k, the TPU-native PartialReduce op,
+    # ~2 ms faster per batch-32 at 640²; recall ≥ 0.95 on the top-1000 of
+    # 76.8k anchors, quality-neutral for RPN proposals which are re-scored by
+    # the ROI head anyway — serving-profile option)
+    topk_impl: str = "exact"

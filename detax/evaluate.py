@@ -1,18 +1,35 @@
-"""Detection evaluation: COCO-style mean average precision.
+"""Detection evaluation: COCO-exact mean average precision.
 
 The reference ships no evaluator at all (SURVEY.md §0 — no train loop, no
 metrics consumer); a detection framework needs one to close the fine-tune
 loop (BASELINE config 5). This is a self-contained numpy implementation of
-the standard protocol: per-class greedy matching of score-ranked detections
-against ground truth at an IoU threshold, 101-point interpolated AP,
-averaged over classes (and over IoU 0.5:0.95 for COCO mAP).
+the COCO protocol, matching pycocotools semantics:
+
+- per-class greedy matching in score order; each detection matches the
+  highest-IoU **not-yet-matched** ground truth at or above the threshold
+  (not merely its best-IoU GT — a detection whose best GT was already taken
+  can still match the runner-up);
+- a ``maxDets`` cap (COCO: 100) on score-ranked detections per image;
+- area-range breakdowns (all / small < 32² / medium / large > 96²) with
+  COCO ignore semantics: out-of-range GT is ignored (doesn't count toward
+  recall, and detections matched to it are dropped from the ranking), and
+  unmatched detections whose own area is out of range are likewise dropped;
+- 101-point interpolated AP, averaged over classes present in the GT, and
+  over IoU 0.5:0.95 for mAP.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+COCO_AREA_RANGES: Dict[str, Tuple[float, float]] = {
+    "all": (0.0, float("inf")),
+    "small": (0.0, 32.0**2),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, float("inf")),
+}
 
 
 def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -40,17 +57,22 @@ def _average_precision(recall: np.ndarray, precision: np.ndarray) -> float:
     return float(np.mean(mprec[np.minimum(idx, len(mprec) - 1)]))
 
 
+def _box_area(b: np.ndarray) -> np.ndarray:
+    return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+
+
 class DetectionEvaluator:
     """Accumulate per-image predictions + GT, then compute AP/mAP.
 
     Usage:
       ev = DetectionEvaluator(num_classes)
       ev.add(pred_boxes, pred_scores, pred_classes, gt_boxes, gt_classes)  # per image
-      metrics = ev.summarize()   # {"mAP", "AP50", "AP75", "AP50/<cls>"...}
+      metrics = ev.summarize()   # {"mAP", "AP50", "AP75", "APs", "APm", "APl"}
     """
 
-    def __init__(self, num_classes: int):
+    def __init__(self, num_classes: int, max_dets: int = 100):
         self.num_classes = num_classes
+        self.max_dets = max_dets
         self._preds: List[Tuple[np.ndarray, np.ndarray, np.ndarray, int]] = []
         self._gts: List[Tuple[np.ndarray, np.ndarray, int]] = []
         self._image_id = 0
@@ -65,11 +87,14 @@ class DetectionEvaluator:
     ) -> None:
         i = self._image_id
         self._image_id += 1
-        self._preds.append(
-            (np.asarray(pred_boxes, np.float64).reshape(-1, 4),
-             np.asarray(pred_scores, np.float64).reshape(-1),
-             np.asarray(pred_classes, np.int64).reshape(-1), i)
-        )
+        boxes = np.asarray(pred_boxes, np.float64).reshape(-1, 4)
+        scores = np.asarray(pred_scores, np.float64).reshape(-1)
+        classes = np.asarray(pred_classes, np.int64).reshape(-1)
+        # COCO maxDets cap: keep the top-scoring detections per image
+        if len(scores) > self.max_dets:
+            keep = np.argsort(-scores, kind="stable")[: self.max_dets]
+            boxes, scores, classes = boxes[keep], scores[keep], classes[keep]
+        self._preds.append((boxes, scores, classes, i))
         self._gts.append(
             (np.asarray(gt_boxes, np.float64).reshape(-1, 4),
              np.asarray(gt_classes, np.int64).reshape(-1), i)
@@ -88,8 +113,31 @@ class DetectionEvaluator:
             m, gm = valid[i], g_valid[i]
             self.add(boxes[i][m], scores[i][m], classes[i][m], g_boxes[i][gm], g_classes[i][gm])
 
-    def _ap_for(self, cls: int, iou_thresh: float) -> Tuple[float, int]:
-        # collect detections of this class over all images, sorted by score
+    def _ap_for(
+        self, cls: int, iou_thresh: float, area_range: Tuple[float, float]
+    ) -> Tuple[float, int]:
+        """COCO AP for one class / IoU threshold / area range.
+
+        Returns (AP, number of counted GT); AP is nan when no GT in range.
+        """
+        lo, hi = area_range
+        # per-image GT for this class + its in-range (non-ignored) flags
+        gt_by_img: Dict[int, np.ndarray] = {}
+        gt_ignore: Dict[int, np.ndarray] = {}
+        matched: Dict[int, np.ndarray] = {}
+        total_gt = 0
+        for boxes, classes, img in self._gts:
+            sel = classes == cls
+            g = boxes[sel]
+            ign = ~((_box_area(g) >= lo) & (_box_area(g) < hi))
+            gt_by_img[img] = g
+            gt_ignore[img] = ign
+            matched[img] = np.zeros(len(g), bool)
+            total_gt += int((~ign).sum())
+
+        if total_gt == 0:
+            return float("nan"), 0
+
         recs = []
         for boxes, scores, classes, img in self._preds:
             sel = classes == cls
@@ -97,50 +145,73 @@ class DetectionEvaluator:
                 recs.append((s, img, b))
         recs.sort(key=lambda r: -r[0])
 
-        gt_by_img: Dict[int, np.ndarray] = {}
-        matched: Dict[int, np.ndarray] = {}
-        total_gt = 0
-        for boxes, classes, img in self._gts:
-            sel = classes == cls
-            gt_by_img[img] = boxes[sel]
-            matched[img] = np.zeros(sel.sum(), bool)
-            total_gt += int(sel.sum())
-
-        if total_gt == 0:
-            return float("nan"), 0
-
-        tp = np.zeros(len(recs))
-        fp = np.zeros(len(recs))
-        for k, (score, img, box) in enumerate(recs):
-            gts = gt_by_img.get(img, np.zeros((0, 4)))
-            if len(gts) == 0:
-                fp[k] = 1
-                continue
-            ious = _iou_matrix(box[None], gts)[0]
-            best = int(np.argmax(ious))
-            if ious[best] >= iou_thresh and not matched[img][best]:
+        tp, fp = [], []
+        for score, img, box in recs:
+            gts = gt_by_img.get(img)
+            best = -1
+            if gts is not None and len(gts):
+                ious = _iou_matrix(box[None], gts)[0]
+                # best *unmatched* GT at/above threshold; unignored GTs take
+                # absolute precedence over ignored ones (pycocotools scans
+                # unignored-first and stops at the ignored region once any
+                # unignored match exists)
+                for phase_ignored in (False, True):
+                    best_iou = iou_thresh - 1e-10
+                    for g in range(len(gts)):
+                        if matched[img][g] or gt_ignore[img][g] != phase_ignored:
+                            continue
+                        if ious[g] > best_iou:
+                            best, best_iou = g, ious[g]
+                    if best >= 0:
+                        break
+            if best >= 0:
                 matched[img][best] = True
-                tp[k] = 1
+                if gt_ignore[img][best]:
+                    continue  # matched an ignored GT → drop from ranking
+                tp.append(1.0)
+                fp.append(0.0)
             else:
-                fp[k] = 1
-        ctp = np.cumsum(tp)
-        cfp = np.cumsum(fp)
+                # unmatched detection whose own area is out of range → ignore
+                a = float(_box_area(box[None])[0])
+                if not (lo <= a < hi):
+                    continue
+                tp.append(0.0)
+                fp.append(1.0)
+
+        ctp = np.cumsum(tp) if tp else np.zeros(0)
+        cfp = np.cumsum(fp) if fp else np.zeros(0)
         recall = ctp / total_gt
         precision = ctp / np.maximum(ctp + cfp, 1e-9)
         return _average_precision(recall, precision), total_gt
 
-    def summarize(self, iou_thresholds: Sequence[float] = tuple(np.arange(0.5, 1.0, 0.05))) -> Dict[str, float]:
+    def _mean_ap(
+        self,
+        iou_thresholds: Sequence[float],
+        area_range: Tuple[float, float],
+    ) -> Dict[float, float]:
         per_thresh: Dict[float, List[float]] = {t: [] for t in iou_thresholds}
         for cls in range(self.num_classes):
             for t in iou_thresholds:
-                ap, n = self._ap_for(cls, t)
+                ap, n = self._ap_for(cls, t, area_range)
                 if n > 0:
                     per_thresh[t].append(ap)
-        means = {t: (float(np.mean(v)) if v else 0.0) for t, v in per_thresh.items()}
+        return {t: (float(np.mean(v)) if v else 0.0) for t, v in per_thresh.items()}
+
+    def summarize(
+        self,
+        iou_thresholds: Sequence[float] = tuple(np.arange(0.5, 1.0, 0.05)),
+        area_ranges: Optional[Dict[str, Tuple[float, float]]] = None,
+    ) -> Dict[str, float]:
+        means = self._mean_ap(iou_thresholds, COCO_AREA_RANGES["all"])
         out = {"mAP": float(np.mean(list(means.values()))) if means else 0.0}
         if 0.5 in means:
             out["AP50"] = means[0.5]
         t75 = min(iou_thresholds, key=lambda t: abs(t - 0.75))
         if abs(t75 - 0.75) < 1e-6:
             out["AP75"] = means[t75]
+        ranges = area_ranges if area_ranges is not None else COCO_AREA_RANGES
+        for key, suffix in (("small", "APs"), ("medium", "APm"), ("large", "APl")):
+            if key in ranges:
+                m = self._mean_ap(iou_thresholds, ranges[key])
+                out[suffix] = float(np.mean(list(m.values()))) if m else 0.0
         return out

@@ -100,9 +100,14 @@ def predict_proposals(
     top_boxes, top_scores, top_levels, top_valid = [], [], [], []
     for lvl, (anch, lg, dl) in enumerate(zip(anchors, logits, deltas)):
         k = min(pre_k, lg.shape[-1])
-        # top-k *before* decode: only k boxes ever get decoded; lax.top_k
-        # returns score-descending order (needed by the Pallas NMS path)
-        sc, idx = jax.lax.top_k(lg, k)  # (B, k)
+        # top-k *before* decode: only k boxes ever get decoded; both top_k and
+        # approx_max_k return score-descending order (needed by the Pallas NMS
+        # path). approx_max_k is the TPU-native PartialReduce selection — see
+        # RegionProposalNetworkConf.topk_impl.
+        if conf.topk_impl == "approx" and k < lg.shape[-1]:
+            sc, idx = jax.lax.approx_max_k(lg, k)
+        else:
+            sc, idx = jax.lax.top_k(lg, k)  # (B, k)
         sel_deltas = jnp.take_along_axis(dl, idx[..., None], axis=1)  # (B, k, 4)
         sel_anchors = jnp.take(anch, idx, axis=0)  # (B, k, 4)
         bx = box_transform.apply_deltas(

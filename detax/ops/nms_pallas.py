@@ -158,18 +158,29 @@ def nms_keep_sorted_batched(
         valid_sorted = jnp.pad(valid_sorted, ((0, 0), (0, n_pad - n)))
     valid_f = valid_sorted.astype(jnp.float32)
 
+    # grid over batch chunks: the kernel's intermediates are O(BB·128·128),
+    # so an unbounded batch block blows the 16 MB scoped-VMEM limit (seen at
+    # B=64, N=1024); 16 images per program keeps it ~1 MB while the grid
+    # pipelines chunks
+    bb = min(b, 16)
+    b_pad = ((b + bb - 1) // bb) * bb
+    if b_pad != b:
+        coords = jnp.pad(coords, ((0, b_pad - b), (0, 0), (0, 0)))
+        valid_f = jnp.pad(valid_f, ((0, b_pad - b), (0, 0)))
+
     keep = pl.pallas_call(
         _nms_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
+        grid=(b_pad // bb,),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 4, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bb, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(jnp.asarray([iou_threshold], jnp.float32), coords, valid_f)
-    return keep[:, :n] > 0.5
+    return keep[:b, :n] > 0.5
 
 
 def nms_keep_sorted(

@@ -81,3 +81,97 @@ def randomized_resnet18(seed: int = 0, num_classes: int = 0) -> TorchResNet18:
                 m.bias.normal_(0, 0.2)
     model.eval()
     return model
+
+
+# ---------------------------------------------------------------------------
+# FPN + RPN-head oracle modules (weights loaded FROM detax params) for the
+# end-to-end box-parity gate — the automated analog of the reference's
+# detectron2 comparison (`python/test/test_detectron.py:17-52`).
+
+
+class TorchFPN(nn.Module):
+    """Reference FPN semantics (`backbones/fpn.py:13-129`): lateral 1×1 +
+    nearest ×2 upsample-add + output 3×3 per stage, P5 = k1/s2 maxpool(P4)."""
+
+    def __init__(self, in_channels=(64, 128, 256, 512), out_channels=64):
+        super().__init__()
+        self.laterals = nn.ModuleList(
+            [nn.Conv2d(c, out_channels, 1, bias=True) for c in in_channels]
+        )
+        self.outputs = nn.ModuleList(
+            [nn.Conv2d(out_channels, out_channels, 3, padding=1, bias=True) for _ in in_channels]
+        )
+
+    def forward(self, feats):
+        """feats: dict res1..res4 (NCHW) → dict p1..p5."""
+        names = [f"res{i+1}" for i in range(len(self.laterals))]
+        top = None
+        out = {}
+        for i in reversed(range(len(names))):
+            lat = self.laterals[i](feats[names[i]])
+            if top is not None:
+                lat = lat + torch.nn.functional.interpolate(top, scale_factor=2, mode="nearest")
+            top = lat
+            out[f"p{i+1}"] = self.outputs[i](lat)
+        out["p5"] = torch.nn.functional.max_pool2d(out["p4"], 1, stride=2)
+        return out
+
+
+class TorchRPNHead(nn.Module):
+    """Reference RPNHead (`modules/rpn_heads.py:9-121`): shared 3×3+ReLU then
+    1×1 objectness (A ch) + 1×1 deltas (A·4 ch)."""
+
+    def __init__(self, channels=64, num_anchors=3):
+        super().__init__()
+        self.conv = nn.Conv2d(channels, channels, 3, padding=1)
+        self.objectness = nn.Conv2d(channels, num_anchors, 1)
+        self.deltas = nn.Conv2d(channels, num_anchors * 4, 1)
+
+    def forward(self, feats):
+        """per-level NCHW → (logits (N,H*W*A), deltas (N,H*W*A,4)) per level,
+        flattened in detax's (h, w, a) order."""
+        logits, deltas = [], []
+        for x in feats:
+            x = torch.relu(self.conv(x))
+            lg = self.objectness(x)  # (N, A, H, W)
+            dl = self.deltas(x)  # (N, A*4, H, W)
+            n, a, h, w = lg.shape
+            logits.append(lg.permute(0, 2, 3, 1).reshape(n, h * w * a))
+            deltas.append(dl.permute(0, 2, 3, 1).reshape(n, h * w * a, 4))
+        return logits, deltas
+
+
+def _t_kernel(k):
+    """detax HWIO conv kernel → torch OIHW tensor."""
+    import numpy as np
+
+    return torch.from_numpy(np.asarray(k).transpose(3, 2, 0, 1).copy())
+
+
+def load_fpn_from_detax(module: TorchFPN, backbone_params) -> None:
+    """Copy detax FPN params (params['backbone']['fpn{i}']) into the oracle."""
+    import numpy as np
+
+    with torch.no_grad():
+        for i in range(len(module.laterals)):
+            p = backbone_params[f"fpn{i+1}"]
+            module.laterals[i].weight.copy_(_t_kernel(p["lateral"]["conv"]["kernel"]))
+            module.laterals[i].bias.copy_(torch.from_numpy(np.asarray(p["lateral"]["conv"]["bias"]).copy()))
+            module.outputs[i].weight.copy_(_t_kernel(p["output"]["conv"]["kernel"]))
+            module.outputs[i].bias.copy_(torch.from_numpy(np.asarray(p["output"]["conv"]["bias"]).copy()))
+    module.eval()
+
+
+def load_rpn_head_from_detax(module: TorchRPNHead, rpn_params) -> None:
+    """Copy detax RPN-head params (params['rpn']['head']) into the oracle."""
+    import numpy as np
+
+    with torch.no_grad():
+        h = rpn_params
+        module.conv.weight.copy_(_t_kernel(h["conv0"]["kernel"]))
+        module.conv.bias.copy_(torch.from_numpy(np.asarray(h["conv0"]["bias"]).copy()))
+        module.objectness.weight.copy_(_t_kernel(h["objectness_logits"]["kernel"]))
+        module.objectness.bias.copy_(torch.from_numpy(np.asarray(h["objectness_logits"]["bias"]).copy()))
+        module.deltas.weight.copy_(_t_kernel(h["anchor_deltas"]["kernel"]))
+        module.deltas.bias.copy_(torch.from_numpy(np.asarray(h["anchor_deltas"]["bias"]).copy()))
+    module.eval()
