@@ -28,10 +28,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 5000.0
-BATCH = 128
 SIZE = 640
 WARMUP = 3
 ITERS = 20
+# per-model batch: throughput keeps rising with batch; RetinaNet R50@640
+# activations cap it lower than the R18 flagship
+BATCHES = {"frcnn": 128, "retinanet": 64, "yolo": 128}
+BATCH = 128
 
 
 def _build(which: str):
@@ -48,7 +51,9 @@ def _build(which: str):
     from detax.models import FasterRCNN, RetinaNet, YOLO
 
     if which == "retinanet":
-        conf = RetinaNetConf(preprocess=PreprocessConf(image_size=SIZE), nms_impl="pallas")
+        conf = RetinaNetConf(
+            preprocess=PreprocessConf(image_size=SIZE), nms_impl="pallas", topk_impl="approx"
+        )
         return RetinaNet(conf=conf, dtype=jnp.bfloat16), "RetinaNet R50-FPN"
     if which == "yolo":
         conf = YOLOConf(preprocess=PreprocessConf(image_size=SIZE), nms_impl="pallas")
@@ -81,6 +86,8 @@ def main() -> None:
     from detax.structures.image_batch import ImageBatch
 
     which = sys.argv[1] if len(sys.argv) > 1 else "frcnn"
+    global BATCH
+    BATCH = BATCHES.get(which, 128)
     model, name = _build(which)
 
     rng = np.random.RandomState(0)

@@ -52,7 +52,7 @@ def cmd_train(args: argparse.Namespace) -> None:
     from detax.structures.image_batch import ImageBatch
     from detax.structures.logs import get_logs
     from detax.train.checkpoint import CheckpointManager
-    from detax.train.coco import COCOReader, SyntheticCOCO, make_batches
+    from detax.train.coco import COCOReader, SyntheticCOCO, make_batches, prefetch_batches
     from detax.train.step import make_train_step
     from detax.train.train_state import create_train_state, make_optimizer, warmup_cosine_schedule
 
@@ -64,9 +64,11 @@ def cmd_train(args: argparse.Namespace) -> None:
             num_images=args.synthetic_images, image_size=args.image_size,
             num_classes=args.num_classes,
         )
-    batches = make_batches(
-        dataset, args.batch, PreprocessConf(image_size=args.image_size),
-        max_gt_boxes=conf.max_gt_boxes, rect_masks=args.masks,
+    batches = prefetch_batches(
+        make_batches(
+            dataset, args.batch, PreprocessConf(image_size=args.image_size),
+            max_gt_boxes=conf.max_gt_boxes, rect_masks=args.masks,
+        )
     )
 
     images, gt = next(batches)

@@ -60,3 +60,8 @@ class RetinaNetConf(BaseConf):
     detections_per_image: int = 100
     max_gt_boxes: int = 100
     nms_impl: str = "xla"  # "xla" | "pallas" (see RegionProposalNetworkConf)
+    # candidate selection over the flattened (anchors × classes) scores:
+    # "exact" (lax.top_k full sort) | "approx" (lax.approx_max_k,
+    # TPU PartialReduce — measured 248 ms → 26 ms per batch-32 at 640² for
+    # the 1.55M-column stride-8 level; serving-profile option)
+    topk_impl: str = "exact"

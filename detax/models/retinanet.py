@@ -73,9 +73,16 @@ class RetinaNet(nn.Module):
         cand_boxes, cand_scores, cand_classes = [], [], []
         for anch, lg, dl in zip(anchors, logits, deltas):
             b, r, nc = lg.shape
-            probs = jax.nn.sigmoid(lg).reshape(b, r * nc)
+            # select on raw logits (sigmoid is monotonic → identical order,
+            # and the 1.55M-column sigmoid at stride 8 is skipped), apply
+            # sigmoid to the k winners only
+            flat = lg.reshape(b, r * nc)
             k = min(c.topk_candidates, r * nc)
-            sc, flat_idx = jax.lax.top_k(probs, k)
+            if c.topk_impl == "approx" and k < r * nc:
+                sel, flat_idx = jax.lax.approx_max_k(flat, k)
+            else:
+                sel, flat_idx = jax.lax.top_k(flat, k)
+            sc = jax.nn.sigmoid(sel)
             anchor_idx = flat_idx // nc
             cls_idx = (flat_idx % nc).astype(jnp.int32)
             sel_deltas = jnp.take_along_axis(dl, anchor_idx[..., None], axis=1)

@@ -7,17 +7,21 @@ The reference has no dataset/dataloader at all (SURVEY.md §0). detax provides:
 - a synthetic COCO-subset generator (random "objects" drawn onto canvases)
   so the fine-tune loop and benchmarks run hermetically with zero downloads;
 - fixed-shape batching: images letterboxed to the static canvas, GT padded to
-  ``max_gt_boxes`` — the host→device contract of the whole framework.
+  ``max_gt_boxes`` — the host→device contract of the whole framework;
+- :func:`prefetch_batches`: a background-thread prefetcher (bounded queue)
+  that overlaps host batch preparation with the device step, so the jitted
+  train step never waits on numpy letterboxing/augmentation.
 
-The high-throughput path is the native C++ loader in ``detax.serve.native``
-(double-buffered prefetch); this module is the portable fallback and the
-format/semantics reference.
+JPEG decode goes through PIL here; the native C++ libjpeg loader in
+``detax.serve.native`` serves the latency-critical serving path.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import queue
+import threading
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -195,6 +199,35 @@ def make_batches(
                 ),
             )
         epoch += 1
+
+
+def prefetch_batches(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Run ``iterator`` in a daemon thread, buffering up to ``depth`` items.
+
+    The host-side batch prep (decode, letterbox, GT padding — all numpy)
+    overlaps with the device step that consumes the previous batch; a depth
+    of 2 is enough to hide it completely when prep is faster than the step.
+    Exceptions from the producer re-raise at the consumer's ``next()``.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _end = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_end)
+        except BaseException as e:  # propagate to the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _end:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def _resize_bilinear(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
