@@ -13,8 +13,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# persistent XLA compilation cache: server/train restarts with unchanged
+# configs skip the multi-minute detector compiles (bench.py and the test
+# conftest do the same)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/detax_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 
 def _build_model(
@@ -29,15 +37,19 @@ def _build_model(
     if num_classes != conf.roi.num_classes or mask_on:
         conf = conf.replace(roi=conf.roi.replace(num_classes=num_classes, mask_on=mask_on))
     if profile == "tpu":
-        # serving profile (see bench.py): Pallas NMS, 1000/level pre-NMS,
-        # test-time 300 proposals, sampling_ratio 1
+        # serving profile (see bench.py): Pallas NMS + window-DMA ROIAlign,
+        # approx pre-NMS top-k, 1000/level pre-NMS, test-time 300 proposals,
+        # sampling_ratio 1
         conf = conf.replace(
             rpn=conf.rpn.replace(
-                pre_nms_topk=(2000, 1000), post_nms_topk=(2000, 300), nms_impl="pallas"
+                pre_nms_topk=(2000, 1000),
+                post_nms_topk=(2000, 300),
+                nms_impl="pallas",
+                topk_impl="approx",
             ),
             roi=conf.roi.replace(
                 nms_impl="pallas",
-                box_pooler=conf.roi.box_pooler.replace(sampling_ratio=1),
+                box_pooler=conf.roi.box_pooler.replace(sampling_ratio=1, impl="pallas"),
             ),
         )
     return FasterRCNN(conf=conf, dtype=jnp.bfloat16), conf

@@ -76,11 +76,31 @@ class DetectionService:
             from detax.structures.image_batch import ImageBatch
 
             pixels = (u8.astype(jnp.float32) - mean) / std
-            return model.apply(p, ImageBatch(pixels=pixels, image_sizes=sizes, scales=scales))
+            d = model.apply(p, ImageBatch(pixels=pixels, image_sizes=sizes, scales=scales))
+            # pack into ONE (B, K, 7) array: remote/tunneled backends pay a
+            # round-trip per fetched array — 4 fetches ≈ 75 ms measured, 1 ≈ 25
+            return jnp.concatenate(
+                [
+                    d.boxes,
+                    d.scores[..., None],
+                    d.classes.astype(jnp.float32)[..., None],
+                    d.valid.astype(jnp.float32)[..., None],
+                ],
+                axis=-1,
+            )
 
         self._fwd = jax.jit(fwd)
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        # result fan-out pool: device→host transfer + per-request JSON encode
+        # happen here, NOT on the runner thread — the runner dispatches the
+        # next batch while the previous one is still executing on device
+        # (jax dispatch is async; the blocking np.asarray lives in the pool)
+        import concurrent.futures
+
+        self._post_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="detax-post"
+        )
 
     @staticmethod
     def _bucket(n: int) -> int:
@@ -120,8 +140,8 @@ class DetectionService:
             u8 = jnp.zeros((b, size, size, 3), jnp.uint8)
             sizes = jnp.full((b, 2), float(size), jnp.float32)
             scales = jnp.ones((b,), jnp.float32)
-            dets = self._fwd(self.params, u8, sizes, scales)
-            np.asarray(dets.scores[:1, :1])  # real sync on remote backends
+            packed = self._fwd(self.params, u8, sizes, scales)
+            np.asarray(packed[:1, :1])  # real sync on remote backends
             b *= 2
 
     def start(self, warmup: bool = True) -> None:
@@ -134,6 +154,7 @@ class DetectionService:
     def stop(self) -> None:
         self._stop.set()
         self.batcher.close()
+        self._post_pool.shutdown(wait=False)
 
     def _run(self) -> None:
         import jax.numpy as jnp
@@ -176,13 +197,19 @@ class DetectionService:
                 sizes[i] = (nh, nw)
                 scales[i] = scale
 
-            dets = self._fwd(
+            packed = self._fwd(
                 self.params, jnp.asarray(pixels), jnp.asarray(sizes), jnp.asarray(scales)
             )
-            boxes = np.asarray(dets.boxes)
-            scores = np.asarray(dets.scores)
-            classes = np.asarray(dets.classes)
-            valid = np.asarray(dets.valid)
+            # async dispatch done — hand transfer+encode to the pool and go
+            # pull the next batch (overlaps with this batch's device time)
+            self._post_pool.submit(self._post_results, list(ids), packed, scales.copy())
+
+    def _post_results(self, ids, packed, scales) -> None:
+        try:
+            out = np.asarray(packed)  # one host transfer: (B, K, 7)
+            boxes, scores = out[..., :4], out[..., 4]
+            classes = out[..., 5].astype(np.int32)
+            valid = out[..., 6] > 0.5
             for i, rid in enumerate(ids):
                 keep = valid[i]
                 result = {
@@ -191,12 +218,24 @@ class DetectionService:
                     "classes": classes[i][keep].tolist(),
                 }
                 self.batcher.post_result(rid, json.dumps(result).encode())
+        except Exception as e:  # a lost batch must not hang its clients
+            err = json.dumps({"error": f"result fan-out failed: {e}"}).encode()
+            for rid in ids:
+                try:
+                    self.batcher.post_result(rid, err)
+                except Exception:
+                    pass
 
 
 def serve(service: DetectionService, port: int = 8500) -> ThreadingHTTPServer:
     """Start the HTTP front end (returns the server; call serve_forever)."""
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: clients reuse connections under load instead
+        # of paying a TCP handshake per request (Content-Length is set on
+        # every response, which 1.1 persistence requires)
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *args):  # quiet
             pass
 
@@ -209,12 +248,16 @@ def serve(service: DetectionService, port: int = 8500) -> ThreadingHTTPServer:
                 self.end_headers()
                 self.wfile.write(body)
             else:
+                # Content-Length is mandatory on EVERY response under the
+                # keep-alive protocol — a length-less 404 hangs 1.1 clients
                 self.send_response(404)
+                self.send_header("Content-Length", "0")
                 self.end_headers()
 
         def do_POST(self):
             if self.path != "/detect":
                 self.send_response(404)
+                self.send_header("Content-Length", "0")
                 self.end_headers()
                 return
             try:

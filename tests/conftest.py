@@ -34,3 +34,9 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "multihost: spawns coordinated multi-process jax.distributed workers"
+    )

@@ -114,6 +114,18 @@ def test_http_contract(rng):
         conn.request("GET", "/stats")
         stats = json.loads(conn.getresponse().read())
         assert stats["completed"] >= 1
+        # keep-alive (HTTP/1.1) regression: every response — including 404
+        # and 400 — must carry Content-Length or the persistent connection
+        # hangs waiting for more body
+        conn.request("GET", "/nope")
+        r = conn.getresponse()
+        assert r.status == 404 and r.read() == b""
+        conn.request("POST", "/detect", body=b"x", headers={"X-Image-Shape": "banana"})
+        r = conn.getresponse()
+        assert r.status == 400 and "error" in json.loads(r.read())
+        # connection still alive after the error responses
+        conn.request("GET", "/stats")
+        assert conn.getresponse().status == 200
     finally:
         server.shutdown()
         service.stop()
