@@ -52,6 +52,71 @@ def letterbox_batch(pixels: Array, conf: PreprocessConf) -> ImageBatch:
     return ImageBatch(pixels=x, image_sizes=sizes, scales=scales)
 
 
+def letterbox_batch_varsize(pixels: Array, sizes: Array, conf: PreprocessConf) -> ImageBatch:
+    """Heterogeneous per-image sizes inside ONE on-device batch.
+
+    The reference pads variable-size images into a common batch tensor on
+    device (``ImageList.from_tensors``, ``image_list.py:65-117``); detax's
+    TPU contract additionally letterboxes to the fixed square canvas. The
+    host ships each image zero-padded into a shared ``(B, Hmax, Wmax, C)``
+    buffer (pure memcpy, no host resize) plus its true ``(h, w)``; this one
+    jitted program then does per-image scale computation, bilinear resize,
+    normalization and zero-padding — static shapes, per-image dynamics as
+    traced values.
+
+    Args:
+      pixels: ``(B, Hmax, Wmax, C)`` uint8/float; image ``i`` occupies the
+        top-left ``sizes[i]`` region.
+      sizes: ``(B, 2)`` true (h, w) per image.
+
+    Returns the same ``ImageBatch`` contract as :func:`letterbox_batch`.
+    """
+    size = conf.image_size
+    b, hmax, wmax, c = pixels.shape
+    mean = jnp.asarray(conf.pixel_mean, jnp.float32)
+    std = jnp.asarray(conf.pixel_std, jnp.float32)
+    coords = jnp.arange(size, dtype=jnp.float32)
+
+    def one(img: Array, hw: Array):
+        h = hw[0].astype(jnp.float32)
+        w = hw[1].astype(jnp.float32)
+        scale = jnp.minimum(size / h, size / w)
+        new_h = jnp.round(h * scale)
+        new_w = jnp.round(w * scale)
+        x = img.astype(jnp.float32)
+
+        def axis_interp(arr, n_src, n_dst, axis):
+            # half-pixel-center source coords with the post-rounding ratio
+            # n_src/n_dst — the jax.image.resize / host-path convention
+            # (1/scale would drift: round(h*scale) != h*scale in general)
+            src = (coords + 0.5) * (n_src / n_dst) - 0.5
+            src = jnp.clip(src, 0.0, n_src - 1.0)
+            lo = jnp.floor(src)
+            f = (src - lo).astype(jnp.float32)
+            lo = lo.astype(jnp.int32)
+            hi = jnp.minimum(lo + 1, (n_src - 1.0).astype(jnp.int32))
+            shape = [1, 1]
+            shape[axis] = size
+            f = f.reshape(shape + [1])
+            return (
+                jnp.take(arr, lo, axis=axis) * (1.0 - f)
+                + jnp.take(arr, hi, axis=axis) * f
+            )
+
+        x = axis_interp(x, h, new_h, 0)  # (S, Wmax, C)
+        x = axis_interp(x, w, new_w, 1)  # (S, S, C)
+        x = (x - mean) / std
+        # outside the valid letterboxed region: normalized-zero padding,
+        # exactly like letterbox_batch's post-normalize jnp.pad
+        yy = coords[:, None, None]
+        xx = coords[None, :, None]
+        x = jnp.where((yy < new_h) & (xx < new_w), x, 0.0)
+        return x, jnp.stack([new_h, new_w]), scale
+
+    out, out_sizes, scales = jax.vmap(one)(pixels, sizes.astype(jnp.float32))
+    return ImageBatch(pixels=out, image_sizes=out_sizes, scales=scales)
+
+
 def classification_preprocess(pixels: Array, conf: PreprocessConf, crop: int = 224) -> Array:
     """ImageNet eval transform parity (reference ``imagenet.py:5-17``):
     resize shorter side to 256 → center crop ``crop`` → normalize. Static

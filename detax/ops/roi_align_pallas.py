@@ -65,19 +65,20 @@ WIN_Y = 32  # rows: offset-free (leading dim), 28-cell span + margin
 WIN_X = 40  # cols: 28-cell span + margin + ≤7 cells of 8-alignment drift
 X_ALIGN = 8
 BOXES_PER_PROGRAM = 32
-RING = 4  # in-flight window DMAs
+RING = 6  # in-flight window DMAs
 _PH = 7  # kernel is specialised for 7x7 output (the reference contract)
 _ROWS = 56  # padded kron rows: 8 (padded ph) x 7 (pw)
 
 
-def _kernel_factory(num_levels: int, c: int, p: int, out_dtype):
+def _kernel_factory(num_levels: int, c: int, c_out: int, p: int, ring: int, out_dtype):
     def kernel(ints_ref, wy_ref, wx_ref, t_ref, *refs):
         # refs: num_levels feature refs (ANY/HBM), out_ref,
-        #       window scratch (RING, WIN_Y, WIN_X, C), sems (RING,)
+        #       window scratch (ring, WIN_Y, WIN_X, C), m scratch, sems
         feat_refs = refs[:num_levels]
         out_ref = refs[num_levels]
         window = refs[num_levels + 1]
-        sems = refs[num_levels + 2]
+        m_scr = refs[num_levels + 2]
+        sems = refs[num_levels + 3]
 
         def dma(j, slot):
             bidx = ints_ref[j, 0]
@@ -126,21 +127,29 @@ def _kernel_factory(num_levels: int, c: int, p: int, out_dtype):
         # matmul anyway, so nothing is lost).  T is 0/1 — exact in bf16.
         mm_dtype = jnp.float32 if jnp.dtype(out_dtype) == jnp.float32 else out_dtype
 
-        def compute(j, slot):
-            wy = wy_ref[pl.ds(j * _ROWS, _ROWS), :]  # (56, WIN_Y) fp32, rows i//7
-            wx = wx_ref[pl.ds(j * _ROWS, _ROWS), :]  # (56, WIN_X) fp32, rows i%7
-            # pltpu.repeat on the lane axis has TILE semantics (the whole row
-            # repeated): a1[i, j] = wx[i, j % WIN_X] → the x factor.  The y
-            # factor (j // WIN_X, a block pattern) comes from the constant
-            # 0/1 block-selector matmul: a2[i, j] = wy[i, j // WIN_X].
-            a1 = pltpu.repeat(wx.astype(mm_dtype), WIN_Y, axis=1)  # (56, Y*X)
+        for k in range(ring - 1):
+            start_dma(k, k)
+
+        # kron build for the WHOLE program's boxes up front: the selector
+        # matmul over many-box row blocks runs at full MXU row occupancy (vs
+        # 56/128 per box) and drops two ops from every per-box dependency
+        # chain.  Built in row chunks into a VMEM scratch — one-shot values
+        # (a1, a2 fp32 accumulator, m) together blow the 16 MB scoped limit.
+        # a1[i, j] = wx[i, j % WIN_X] (pltpu.repeat has TILE semantics on the
+        # lane axis); a2[i, j] = wy[i, j // WIN_X] via the 0/1 block-selector.
+        chunk = max(1, p // 4) * _ROWS
+        for q in range(0, p * _ROWS, chunk):
+            a1 = pltpu.repeat(wx_ref[q:q + chunk, :].astype(mm_dtype), WIN_Y, axis=1)
             a2 = jnp.dot(
-                wy.astype(mm_dtype),
+                wy_ref[q:q + chunk, :].astype(mm_dtype),
                 t_ref[:].astype(mm_dtype),
                 preferred_element_type=jnp.float32,  # MXU acc must be 32-bit
                 precision=precision,
             )
-            m = a1 * a2.astype(mm_dtype)  # (56, WIN_Y*WIN_X) = kron(Wy, Wx)
+            m_scr[q:q + chunk, :] = a1 * a2.astype(mm_dtype)
+
+        def compute(j, slot):
+            m = m_scr[j * _ROWS:(j + 1) * _ROWS, :]  # j is a Python int here
             win = window[slot].reshape(WIN_Y * WIN_X, c)
             out = jnp.dot(
                 m.astype(win.dtype),
@@ -148,18 +157,15 @@ def _kernel_factory(num_levels: int, c: int, p: int, out_dtype):
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )  # (56, C)
-            out_ref[pl.ds(j * _ROWS, _ROWS), :] = out.astype(out_dtype)
-
-        for k in range(RING - 1):
-            start_dma(k, k)
+            out_ref[pl.ds(j * _ROWS, _ROWS), :] = out[:, :c_out].astype(out_dtype)
 
         # fully unrolled: j and the ring slot are compile-time constants, so
         # scratch indexing is static and Mosaic can software-pipeline the
         # independent per-box chains
         for j in range(p):
-            slot = j % RING
-            if j + RING - 1 < p:
-                start_dma(j + RING - 1, (j + RING - 1) % RING)
+            slot = j % ring
+            if j + ring - 1 < p:
+                start_dma(j + ring - 1, (j + ring - 1) % ring)
             wait_dma(j, slot)
             compute(j, slot)
 
@@ -281,7 +287,11 @@ def multiscale_roi_align_pallas(
         [bidx, y0.astype(jnp.int32), x0.astype(jnp.int32), lvl_idx.astype(jnp.int32)], axis=1
     )  # (N, 4)
 
-    p = BOXES_PER_PROGRAM
+    # fp32 (parity path) uses double the bytes everywhere — halve the
+    # program size and ring so scratches fit the 16 MB scoped-VMEM limit
+    is_f32 = jnp.dtype(dtype) == jnp.float32
+    p = BOXES_PER_PROGRAM // (2 if is_f32 else 1)
+    ring = 3 if is_f32 else RING
     n_pad = ((n + p - 1) // p) * p
     if n_pad != n:
         ints = jnp.pad(ints, ((0, n_pad - n), (0, 0)))
@@ -295,7 +305,7 @@ def multiscale_roi_align_pallas(
         jnp.float32,
     )
 
-    kernel = _kernel_factory(num_levels, c_pad, p, dtype)
+    kernel = _kernel_factory(num_levels, c_pad, c, p, ring, dtype)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -306,13 +316,15 @@ def multiscale_roi_align_pallas(
             pl.BlockSpec((WIN_Y, WIN_Y * WIN_X), lambda i: (0, 0)),
         ]
         + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
-        out_specs=pl.BlockSpec((p * _ROWS, c_pad), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_pad * _ROWS, c_pad), dtype),
+        out_specs=pl.BlockSpec((p * _ROWS, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad * _ROWS, c), dtype),
         scratch_shapes=[
-            pltpu.VMEM((RING, WIN_Y, WIN_X, c_pad), dtype),
-            pltpu.SemaphoreType.DMA((RING,)),
+            pltpu.VMEM((ring, WIN_Y, WIN_X, c_pad), dtype),
+            pltpu.VMEM((p * _ROWS, WIN_Y * WIN_X),
+                       jnp.float32 if is_f32 else dtype),
+            pltpu.SemaphoreType.DMA((ring,)),
         ],
         interpret=interpret,
     )(ints, wy56.reshape(n_pad * _ROWS, WIN_Y), wx56.reshape(n_pad * _ROWS, WIN_X), t_sel, *feats)
-    out = out.reshape(n_pad, 8, _PH, c_pad)[:n, :_PH, :, :c]  # drop pad row/lanes
+    out = out.reshape(n_pad, 8, _PH, c)[:n, :_PH]  # drop the py pad row
     return out.reshape(b, r_boxes, ph, pw, c)

@@ -155,13 +155,17 @@ def roi_align_oracle(
         if not aligned:
             roi_w, roi_h = max(roi_w, 1.0), max(roi_h, 1.0)
         bin_h, bin_w = roi_h / ph, roi_w / pw
+        # torchvision sampling_ratio=0 means *adaptive*: per-box, per-axis
+        # ceil(bin size) samples (roi_poolers.py:64-71 default)
+        ry = sampling_ratio if sampling_ratio > 0 else max(1, math.ceil(bin_h))
+        rx = sampling_ratio if sampling_ratio > 0 else max(1, math.ceil(bin_w))
         for py in range(ph):
             for px in range(pw):
                 acc = np.zeros(c, np.float64)
-                for iy in range(sampling_ratio):
-                    yy = y1 + py * bin_h + (iy + 0.5) * bin_h / sampling_ratio
-                    for ix in range(sampling_ratio):
-                        xx = x1 + px * bin_w + (ix + 0.5) * bin_w / sampling_ratio
+                for iy in range(ry):
+                    yy = y1 + py * bin_h + (iy + 0.5) * bin_h / ry
+                    for ix in range(rx):
+                        xx = x1 + px * bin_w + (ix + 0.5) * bin_w / rx
                         acc += _bilinear(feat, yy, xx)
-                out[i, py, px] = acc / (sampling_ratio * sampling_ratio)
+                out[i, py, px] = acc / (ry * rx)
     return out

@@ -88,3 +88,66 @@ def test_roi_pool_is_max(rng):
     boxes = np.array([[16.0, 16.0, 48.0, 48.0]], np.float32)  # maps to [4,12) at scale .25
     got = np.asarray(roi_pool(jnp.asarray(feat), jnp.asarray(boxes), 0.25, (2, 2)))
     np.testing.assert_allclose(got, 5.0)
+
+
+def test_fixed_ratio_drift_vs_adaptive_oracle(rng):
+    """Quantifies the documented deviation from the reference: detax uses a
+    FIXED sampling_ratio (default 2) where torchvision's default 0 means
+    adaptive ceil(bin) samples per axis (`roi_poolers.py:64-71`).
+
+    Through the multiscale pooler the canonical level assignment keeps bins
+    in ~[2, 4) cells, so adaptive picks 2-4 samples vs our fixed 2. On
+    smooth (conv-like) features the measured worst-element drift is ~0.4x
+    the mean |feature| and the mean drift ~2% — bounded here so any
+    *semantics* regression (wrong taps, off-by-one, wrong level) trips the
+    assert, while the documented sampling deviation passes.
+    """
+    c = 8
+    size = 256
+    feats = []
+    for s in (4, 8, 16, 32):
+        hh = size // s
+        base = rng.randn(hh // 4 + 2, hh // 4 + 2, c).astype(np.float32)
+        ys = np.linspace(0, base.shape[0] - 1.001, hh)
+        xs = np.linspace(0, base.shape[1] - 1.001, hh)
+        y0, x0 = np.floor(ys).astype(int), np.floor(xs).astype(int)
+        fy = (ys - y0)[:, None, None]
+        fx = (xs - x0)[None, :, None]
+        f = (
+            base[y0][:, x0] * (1 - fy) * (1 - fx)
+            + base[y0][:, x0 + 1] * (1 - fy) * fx
+            + base[y0 + 1][:, x0] * fy * (1 - fx)
+            + base[y0 + 1][:, x0 + 1] * fy * fx
+        ).astype(np.float32)
+        feats.append(jnp.asarray(f[None]))
+
+    n = 24
+    wh = rng.uniform(16, 240, (n, 2))
+    xy = rng.uniform(0, 200, (n, 2))
+    boxes = np.concatenate([xy, np.minimum(xy + wh, 255)], axis=1).astype(np.float32)
+
+    strides = [4, 8, 16, 32]
+    fixed = np.asarray(
+        multiscale_roi_align(feats, jnp.asarray(boxes)[None], strides, (7, 7), 2, True)
+    )[0]
+    lv = np.asarray(assign_boxes_to_levels(jnp.asarray(boxes)[None], 2, 5))[0]
+    drifts = []
+    for i in range(n):
+        l = int(lv[i]) - 2
+        adaptive = roi_align_oracle(
+            np.asarray(feats[l][0]), boxes[i : i + 1], 1.0 / strides[l], (7, 7), 0, True
+        )[0]
+        drifts.append(np.abs(fixed[i] - adaptive))
+    drifts = np.stack(drifts)
+    scale = np.abs(fixed).mean()
+    assert drifts.max() < 0.6 * scale, (drifts.max(), scale)
+    assert drifts.mean() < 0.05 * scale, (drifts.mean(), scale)
+
+    # exact agreement when adaptive also picks 2 samples (bin in (1, 2])
+    feat0 = np.asarray(feats[0][0])
+    small = np.array([[10.0, 10.0, 60.0, 62.0]], np.float32)  # bin ~1.8 cells
+    f2 = np.asarray(
+        multiscale_roi_align([feats[0]], jnp.asarray(small)[None], [4], (7, 7), 2, True)
+    )[0]
+    ad = roi_align_oracle(feat0, small, 1.0 / 4, (7, 7), 0, True)
+    np.testing.assert_allclose(f2, ad, rtol=1e-4, atol=1e-4)
