@@ -107,8 +107,11 @@ def cmd_train(args: argparse.Namespace) -> None:
         logs.put_metrics(metrics)
         logs.step()
         if (i + 1) % args.log_every == 0:
+            # float() on the loss is the device sync for this window
             loss = float(metrics["total_loss"])
-            rate = args.batch * (i + 1) / (time.time() - t0)
+            now = time.time()
+            rate = args.batch * args.log_every / (now - t0)  # windowed, not
+            t0 = now  # cumulative — the first window absorbs the jit compile
             print(f"step {i + 1}/{args.steps} loss={loss:.4f} img/s={rate:.1f}")
             if ckpt and loss < best:
                 best = loss
