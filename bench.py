@@ -52,7 +52,7 @@ def _build(which: str):
 
     if which == "retinanet":
         conf = RetinaNetConf(
-            preprocess=PreprocessConf(image_size=SIZE), nms_impl="pallas", topk_impl="approx"
+            preprocess=PreprocessConf(image_size=SIZE), nms_impl="pallas", topk_impl="anchor"
         )
         return RetinaNet(conf=conf, dtype=jnp.bfloat16), "RetinaNet R50-FPN"
     if which == "yolo":

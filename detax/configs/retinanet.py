@@ -63,5 +63,7 @@ class RetinaNetConf(BaseConf):
     # candidate selection over the flattened (anchors × classes) scores:
     # "exact" (lax.top_k full sort) | "approx" (lax.approx_max_k,
     # TPU PartialReduce — measured 248 ms → 26 ms per batch-32 at 640² for
-    # the 1.55M-column stride-8 level; serving-profile option)
+    # the 1.55M-column stride-8 level; candidate-set-faithful) | "anchor"
+    # (per-anchor best class first, then approx top-k over anchors — another
+    # 11× on the selection; deviation: ≤1 class candidate per anchor)
     topk_impl: str = "exact"

@@ -73,18 +73,34 @@ class RetinaNet(nn.Module):
         cand_boxes, cand_scores, cand_classes = [], [], []
         for anch, lg, dl in zip(anchors, logits, deltas):
             b, r, nc = lg.shape
-            # select on raw logits (sigmoid is monotonic → identical order,
-            # and the 1.55M-column sigmoid at stride 8 is skipped), apply
-            # sigmoid to the k winners only
-            flat = lg.reshape(b, r * nc)
-            k = min(c.topk_candidates, r * nc)
-            if c.topk_impl == "approx" and k < r * nc:
-                sel, flat_idx = jax.lax.approx_max_k(flat, k)
+            if c.topk_impl == "anchor":
+                # anchor-first selection: per-anchor best class, then top-k
+                # over ANCHORS (r columns instead of r·nc — 11x cheaper at
+                # stride 8, measured). Documented deviation: at most one
+                # class candidate per anchor (Detectron2's flat top-k can
+                # emit several); class-aware NMS keeps the top class in the
+                # overwhelmingly common case anyway. Serving-profile option.
+                best = jnp.max(lg, axis=-1)  # (B, R)
+                cls_all = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                k = min(c.topk_candidates, r)
+                if k < r:
+                    sel, anchor_idx = jax.lax.approx_max_k(best, k)
+                else:
+                    sel, anchor_idx = jax.lax.top_k(best, k)
+                cls_idx = jnp.take_along_axis(cls_all, anchor_idx, axis=1)
             else:
-                sel, flat_idx = jax.lax.top_k(flat, k)
+                # select on raw logits (sigmoid is monotonic → identical
+                # order, and the 1.55M-column sigmoid at stride 8 is
+                # skipped), apply sigmoid to the k winners only
+                flat = lg.reshape(b, r * nc)
+                k = min(c.topk_candidates, r * nc)
+                if c.topk_impl == "approx" and k < r * nc:
+                    sel, flat_idx = jax.lax.approx_max_k(flat, k)
+                else:
+                    sel, flat_idx = jax.lax.top_k(flat, k)
+                anchor_idx = flat_idx // nc
+                cls_idx = (flat_idx % nc).astype(jnp.int32)
             sc = jax.nn.sigmoid(sel)
-            anchor_idx = flat_idx // nc
-            cls_idx = (flat_idx % nc).astype(jnp.int32)
             sel_deltas = jnp.take_along_axis(dl, anchor_idx[..., None], axis=1)
             sel_anchors = jnp.take(anch, anchor_idx, axis=0)
             bx = box_transform.apply_deltas(

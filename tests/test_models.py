@@ -150,6 +150,25 @@ def test_retinanet_forward(images):
     losses, metrics = model.apply(params, images, tiny_gt(), method=RetinaNet.train_forward)
     assert np.isfinite(float(sum(losses.values())))
 
+    # anchor-first selection (serving option): valid detections, classes in
+    # range, and its per-anchor-best candidates are a subset of the exact
+    # flat candidates when k covers everything (both reduce to all anchors)
+    model_a = RetinaNet(conf=conf.replace(topk_impl="anchor"))
+    dets_a = model_a.apply(params, images)
+    assert dets_a.boxes.shape == (2, 8, 4)
+    va = np.asarray(dets_a.valid)
+    ca = np.asarray(dets_a.classes)
+    assert ((ca[va] >= 0) & (ca[va] < 7)).all()
+    sa = np.asarray(dets_a.scores)
+    assert np.isfinite(sa[va]).all()
+    # the top detection (a clear argmax anchor) agrees with the exact path
+    if va[0].any() and np.asarray(dets.valid)[0].any():
+        from tests.oracles import iou_matrix
+
+        b0 = np.asarray(dets.boxes)[0, 0][None]
+        a0 = np.asarray(dets_a.boxes)[0, 0][None]
+        assert iou_matrix(b0, a0)[0, 0] > 0.99
+
 
 def test_yolo_forward(images):
     conf = YOLOConf(
