@@ -69,3 +69,40 @@ def test_spatial_sharding_forward(rng):
     ps = jax.device_put(params, replicate(mesh))
     got = jax.jit(lambda p, v: model.apply(p, v)["res4"])(ps, xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_data_parallel_inference_matches_unsharded(rng):
+    """Full-detector inference with the batch sharded over the 8-device data
+    axis must produce the same detections as the unsharded forward — the
+    serving-side scaling contract (SPMD batch sharding, params replicated,
+    XLA inserts any needed collectives)."""
+    from detax.models import FasterRCNN
+    from detax.structures.image_batch import ImageBatch
+    from tests.test_models import tiny_rcnn_conf
+
+    conf = tiny_rcnn_conf()
+    model = FasterRCNN(conf=conf)
+    b = 8
+    pixels = jnp.asarray(rng.randn(b, conf.preprocess.image_size, conf.preprocess.image_size, 3), jnp.float32)
+    images = ImageBatch.from_pixels(pixels)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images)
+
+    fwd = jax.jit(lambda p, im: model.apply(p, im))
+    want = fwd(params, images)
+
+    mesh = create_mesh()  # (data=8, spatial=1)
+    images_s = shard_batch(mesh, images)
+    params_s = jax.device_put(params, replicate(mesh))
+    got = fwd(params_s, images_s)
+
+    np.testing.assert_allclose(np.asarray(got.valid), np.asarray(want.valid))
+    v = np.asarray(want.valid)
+    np.testing.assert_allclose(
+        np.asarray(got.boxes)[v], np.asarray(want.boxes)[v], rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.scores)[v], np.asarray(want.scores)[v], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(got.classes)[v], np.asarray(want.classes)[v])
+    # outputs actually live sharded over the data axis
+    assert got.boxes.sharding.spec[0] == "data"
