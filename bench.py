@@ -73,6 +73,7 @@ def _build(which: str):
         ),
         roi=base.roi.replace(
             nms_impl="pallas",
+            topk_impl="approx",
             box_pooler=base.roi.box_pooler.replace(sampling_ratio=1, impl="pallas"),
         ),
     )

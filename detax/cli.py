@@ -49,6 +49,7 @@ def _build_model(
             ),
             roi=conf.roi.replace(
                 nms_impl="pallas",
+                topk_impl="approx",
                 box_pooler=conf.roi.box_pooler.replace(sampling_ratio=1, impl="pallas"),
             ),
         )

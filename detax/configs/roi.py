@@ -89,6 +89,10 @@ class ROIConf(BaseConf):
     # TPU replacement for the reference's dynamic score-threshold filtering
     pre_nms_candidates: int = 1000
     nms_impl: str = "xla"  # "xla" | "pallas" (see RegionProposalNetworkConf)
+    # candidate-cap selection: "exact" (lax.top_k) | "approx"
+    # (lax.approx_max_k over the flattened proposal×class scores —
+    # serving-profile option, see RegionProposalNetworkConf.topk_impl)
+    topk_impl: str = "exact"
     # instance segmentation (Mask R-CNN capability)
     mask_on: bool = False
     mask_head: MaskHeadConf = MaskHeadConf()

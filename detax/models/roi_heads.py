@@ -294,7 +294,11 @@ def fast_rcnn_inference(
     ).reshape(b, p * c)
 
     k = min(conf.pre_nms_candidates, p * c)
-    cand_scores, cand_idx = jax.lax.top_k(jnp.where(gate, flat_scores, -jnp.inf), k)
+    gated = jnp.where(gate, flat_scores, -jnp.inf)
+    if conf.topk_impl == "approx" and k < p * c:
+        cand_scores, cand_idx = jax.lax.approx_max_k(gated, k)
+    else:
+        cand_scores, cand_idx = jax.lax.top_k(gated, k)
     cand_boxes = jnp.take_along_axis(flat_boxes, cand_idx[..., None], axis=1)
     cand_classes = jnp.take_along_axis(flat_classes, cand_idx, axis=1)
     cand_valid = cand_scores > -jnp.inf
