@@ -9,11 +9,15 @@ the COCO protocol, matching pycocotools semantics:
   highest-IoU **not-yet-matched** ground truth at or above the threshold
   (not merely its best-IoU GT — a detection whose best GT was already taken
   can still match the runner-up);
-- a ``maxDets`` cap (COCO: 100) on score-ranked detections per image;
-- area-range breakdowns (all / small < 32² / medium / large > 96²) with
-  COCO ignore semantics: out-of-range GT is ignored (doesn't count toward
-  recall, and detections matched to it are dropped from the ranking), and
-  unmatched detections whose own area is out of range are likewise dropped;
+- a ``maxDets`` cap (COCO: 100) on score-ranked detections applied per
+  image-category (pycocotools ``useCats=1`` caps inside ``evaluateImg``,
+  which runs per (image, category) pair);
+- area-range breakdowns (all / small / medium / large) with pycocotools'
+  exact bounds — inclusive at BOTH ends, so an area of exactly 32² counts
+  as both small and medium — and COCO ignore semantics: out-of-range GT is
+  ignored (doesn't count toward recall, and detections matched to it are
+  dropped from the ranking), and unmatched detections whose own area is out
+  of range are likewise dropped;
 - 101-point interpolated AP, averaged over classes present in the GT, and
   over IoU 0.5:0.95 for mAP.
 """
@@ -24,11 +28,12 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+# pycocotools areaRng values: bounds are INCLUSIVE at both ends
 COCO_AREA_RANGES: Dict[str, Tuple[float, float]] = {
-    "all": (0.0, float("inf")),
+    "all": (0.0, 1e5**2),
     "small": (0.0, 32.0**2),
     "medium": (32.0**2, 96.0**2),
-    "large": (96.0**2, float("inf")),
+    "large": (96.0**2, 1e5**2),
 }
 
 
@@ -90,10 +95,8 @@ class DetectionEvaluator:
         boxes = np.asarray(pred_boxes, np.float64).reshape(-1, 4)
         scores = np.asarray(pred_scores, np.float64).reshape(-1)
         classes = np.asarray(pred_classes, np.int64).reshape(-1)
-        # COCO maxDets cap: keep the top-scoring detections per image
-        if len(scores) > self.max_dets:
-            keep = np.argsort(-scores, kind="stable")[: self.max_dets]
-            boxes, scores, classes = boxes[keep], scores[keep], classes[keep]
+        # (the maxDets cap is applied per image-category inside _ap_for,
+        # matching pycocotools useCats=1 — NOT per image here)
         self._preds.append((boxes, scores, classes, i))
         self._gts.append(
             (np.asarray(gt_boxes, np.float64).reshape(-1, 4),
@@ -129,7 +132,7 @@ class DetectionEvaluator:
         for boxes, classes, img in self._gts:
             sel = classes == cls
             g = boxes[sel]
-            ign = ~((_box_area(g) >= lo) & (_box_area(g) < hi))
+            ign = ~((_box_area(g) >= lo) & (_box_area(g) <= hi))
             gt_by_img[img] = g
             gt_ignore[img] = ign
             matched[img] = np.zeros(len(g), bool)
@@ -141,7 +144,12 @@ class DetectionEvaluator:
         recs = []
         for boxes, scores, classes, img in self._preds:
             sel = classes == cls
-            for b, s in zip(boxes[sel], scores[sel]):
+            b_c, s_c = boxes[sel], scores[sel]
+            # pycocotools maxDets cap: top-scoring per image-CATEGORY
+            if len(s_c) > self.max_dets:
+                keep = np.argsort(-s_c, kind="stable")[: self.max_dets]
+                b_c, s_c = b_c[keep], s_c[keep]
+            for b, s in zip(b_c, s_c):
                 recs.append((s, img, b))
         recs.sort(key=lambda r: -r[0])
 
@@ -173,7 +181,7 @@ class DetectionEvaluator:
             else:
                 # unmatched detection whose own area is out of range → ignore
                 a = float(_box_area(box[None])[0])
-                if not (lo <= a < hi):
+                if not (lo <= a <= hi):
                     continue
                 tp.append(0.0)
                 fp.append(1.0)

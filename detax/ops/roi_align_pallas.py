@@ -10,8 +10,10 @@ clamped ends — reference ``assign_boxes_to_levels``,
 ``roi_poolers.py:103-131``), so every box's entire bilinear footprint fits a
 fixed window of cells:
 
-  per box, ONE strided DMA copies the (32, 40, C) window HBM→VMEM (4-deep
-  ring-buffered across boxes), and the pooled 7x7 bilinear reduce collapses
+  per box, ONE strided DMA copies the (32, 40, C) window HBM→VMEM (ALL of
+  a program's windows are issued up front and stay resident — v3; the
+  rolling-ring v2 spent ~980 cy/box re-deriving descriptors and branching
+  over levels twice per box), and the pooled 7x7 bilinear reduce collapses
   to a single MXU matmul
 
       out = M @ win_flat,   M = kron(Wy, Wx) ∈ (56, 1280),
@@ -64,53 +66,47 @@ from jax.experimental.pallas import tpu as pltpu
 WIN_Y = 32  # rows: offset-free (leading dim), 28-cell span + margin
 WIN_X = 40  # cols: 28-cell span + margin + ≤7 cells of 8-alignment drift
 X_ALIGN = 8
-BOXES_PER_PROGRAM = 32
-RING = 6  # in-flight window DMAs
+BOXES_PER_PROGRAM = 24  # ring == p: every window resident in VMEM at once
+RESIDENT_VMEM_BUDGET = 12 * 1024 * 1024  # v4 map-resident path eligibility
 _PH = 7  # kernel is specialised for 7x7 output (the reference contract)
 _ROWS = 56  # padded kron rows: 8 (padded ph) x 7 (pw)
 
 
-def _kernel_factory(num_levels: int, c: int, c_out: int, p: int, ring: int, out_dtype):
+def _kernel_factory(num_levels: int, c: int, c_out: int, p: int, out_dtype):
     def kernel(ints_ref, wy_ref, wx_ref, t_ref, *refs):
         # refs: num_levels feature refs (ANY/HBM), out_ref,
-        #       window scratch (ring, WIN_Y, WIN_X, C), m scratch, sems
+        #       window scratch (p, WIN_Y, WIN_X, C), m scratch, sems
         feat_refs = refs[:num_levels]
         out_ref = refs[num_levels]
         window = refs[num_levels + 1]
         m_scr = refs[num_levels + 2]
         sems = refs[num_levels + 3]
 
-        def dma(j, slot):
+        def start_dma(j):
             bidx = ints_ref[j, 0]
             y0 = ints_ref[j, 1]
             # x0 is pre-aligned on the host side; re-derive the alignment in
             # kernel so Mosaic can prove divisibility by the sublane tiling
             x0 = pl.multiple_of((ints_ref[j, 2] // X_ALIGN) * X_ALIGN, X_ALIGN)
             level = ints_ref[j, 3]
-            copies = []
             for l in range(num_levels):
-                copies.append(
+                @pl.when(level == l)
+                def _():
                     pltpu.make_async_copy(
                         feat_refs[l].at[bidx, pl.ds(y0, WIN_Y), pl.ds(x0, WIN_X), :],
-                        window.at[slot],
-                        sems.at[slot],
-                    )
-                )
-            return level, copies
+                        window.at[j],
+                        sems.at[j],
+                    ).start()
 
-        def start_dma(j, slot):
-            level, copies = dma(j, slot)
-            for l in range(num_levels):
-                @pl.when(level == l)
-                def _():
-                    copies[l].start()
-
-        def wait_dma(j, slot):
-            level, copies = dma(j, slot)
-            for l in range(num_levels):
-                @pl.when(level == l)
-                def _():
-                    copies[l].wait()
+        def wait_dma(j):
+            # every level's window slice has identical shape/dtype, so the
+            # semaphore wait (which only needs the byte count) can use a
+            # level-independent descriptor — no per-level branching here
+            pltpu.make_async_copy(
+                feat_refs[0].at[0, pl.ds(0, WIN_Y), pl.ds(0, WIN_X), :],
+                window.at[j],
+                sems.at[j],
+            ).wait()
 
         # fp32 inputs (the parity/test path) must not be decomposed into
         # bf16 MXU passes — request HIGHEST; bf16 inputs (serving) keep the
@@ -127,8 +123,12 @@ def _kernel_factory(num_levels: int, c: int, c_out: int, p: int, ring: int, out_
         # matmul anyway, so nothing is lost).  T is 0/1 — exact in bf16.
         mm_dtype = jnp.float32 if jnp.dtype(out_dtype) == jnp.float32 else out_dtype
 
-        for k in range(ring - 1):
-            start_dma(k, k)
+        # issue EVERY window DMA up front: the per-box dependency chains in
+        # the compute loop below are then pure wait+matmul (the v2 kernel's
+        # rolling 6-deep ring re-derived descriptors and branched over
+        # levels twice per box, which dominated its ~980 cy/box overhead)
+        for j in range(p):
+            start_dma(j)
 
         # kron build for the WHOLE program's boxes up front: the selector
         # matmul over many-box row blocks runs at full MXU row occupancy (vs
@@ -148,9 +148,9 @@ def _kernel_factory(num_levels: int, c: int, c_out: int, p: int, ring: int, out_
             )
             m_scr[q:q + chunk, :] = a1 * a2.astype(mm_dtype)
 
-        def compute(j, slot):
+        def compute(j):
             m = m_scr[j * _ROWS:(j + 1) * _ROWS, :]  # j is a Python int here
-            win = window[slot].reshape(WIN_Y * WIN_X, c)
+            win = window[j].reshape(WIN_Y * WIN_X, c)
             out = jnp.dot(
                 m.astype(win.dtype),
                 win,
@@ -159,17 +159,97 @@ def _kernel_factory(num_levels: int, c: int, c_out: int, p: int, ring: int, out_
             )  # (56, C)
             out_ref[pl.ds(j * _ROWS, _ROWS), :] = out[:, :c_out].astype(out_dtype)
 
-        # fully unrolled: j and the ring slot are compile-time constants, so
-        # scratch indexing is static and Mosaic can software-pipeline the
-        # independent per-box chains
+        # fully unrolled: j is a compile-time constant, so scratch indexing
+        # is static and Mosaic can software-pipeline the independent
+        # per-box wait→matmul chains
         for j in range(p):
-            slot = j % ring
-            if j + ring - 1 < p:
-                start_dma(j + ring - 1, (j + ring - 1) % ring)
-            wait_dma(j, slot)
-            compute(j, slot)
+            wait_dma(j)
+            compute(j)
 
     return kernel
+
+
+def _kernel_factory_resident(
+    num_levels: int,
+    c: int,
+    c_out: int,
+    p: int,
+    out_dtype,
+    map_shapes,  # per level (Hl_pad, Wl_pad) of the padded feature refs
+):
+    """v4: map-resident kernel. Boxes arrive sorted by (image, level); each
+    program keeps the current (image, level) feature map whole in VMEM and
+    slices windows out of it, so HBM traffic is one map read per (image,
+    level) segment instead of one 327 KB window DMA per box. The v3 probe
+    measured the per-box window DMAs at 38.65 of the kernel's 39 ms
+    (12.6 GB of overlapping reads at b128-serving shapes) — the kernel is
+    DMA-bound, and this removes ~92% of the bytes."""
+    max_h = max(h for h, _ in map_shapes)
+    max_w = max(w for _, w in map_shapes)
+
+    def kernel(ints_ref, wy_ref, wx_ref, t_ref, *refs):
+        feat_refs = refs[:num_levels]
+        out_ref = refs[num_levels]
+        map_scr = refs[num_levels + 1]  # (max_h, max_w, c)
+        m_scr = refs[num_levels + 2]
+        resident = refs[num_levels + 3]  # SMEM (1,): resident segment key
+        sem = refs[num_levels + 4]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            resident[0] = -1
+
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if jnp.dtype(out_dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        mm_dtype = jnp.float32 if jnp.dtype(out_dtype) == jnp.float32 else out_dtype
+
+        chunk = max(1, p // 4) * _ROWS
+        for q in range(0, p * _ROWS, chunk):
+            a1 = pltpu.repeat(wx_ref[q:q + chunk, :].astype(mm_dtype), WIN_Y, axis=1)
+            a2 = jnp.dot(
+                wy_ref[q:q + chunk, :].astype(mm_dtype),
+                t_ref[:].astype(mm_dtype),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            m_scr[q:q + chunk, :] = a1 * a2.astype(mm_dtype)
+
+        for j in range(p):
+            bidx = ints_ref[j, 0]
+            y0 = ints_ref[j, 1]
+            x0 = pl.multiple_of((ints_ref[j, 2] // X_ALIGN) * X_ALIGN, X_ALIGN)
+            level = ints_ref[j, 3]
+            key = ints_ref[j, 4]
+
+            # segment transition: blocking whole-map DMA (rare — once per
+            # (image, level) across the whole sorted grid)
+            for l, (hl, wl) in enumerate(map_shapes):
+                @pl.when((key != resident[0]) & (level == l))
+                def _():
+                    cp = pltpu.make_async_copy(
+                        feat_refs[l].at[bidx],
+                        map_scr.at[pl.ds(0, hl), pl.ds(0, wl), :],
+                        sem,
+                    )
+                    cp.start()
+                    cp.wait()
+            resident[0] = key
+
+            win = map_scr[pl.ds(y0, WIN_Y), pl.ds(x0, WIN_X), :]
+            win = win.reshape(WIN_Y * WIN_X, c)
+            m = m_scr[j * _ROWS:(j + 1) * _ROWS, :]
+            out = jnp.dot(
+                m.astype(win.dtype),
+                win,
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            out_ref[pl.ds(j * _ROWS, _ROWS), :] = out[:, :c_out].astype(out_dtype)
+
+    return kernel, (max_h, max_w)
 
 
 def _axis_weights(start, binsz, origin, size, ph, r, width):
@@ -234,13 +314,16 @@ def multiscale_roi_align_pallas(
     min_level, max_level = levels[0], levels[-1]
     num_levels = len(features)
 
-    # pad small maps so the window always exists, and pad channels to the
-    # 128-lane tile (Mosaic: manual-DMA slices must cover whole lane tiles)
+    # pad small maps so the window always exists, pad widths to X_ALIGN (the
+    # x0 clip bound pad_w - WIN_X must itself be 8-aligned, else the aligned
+    # window stops short of the right edge and edge-box taps get clipped to
+    # the wrong column), and pad channels to the 128-lane tile (Mosaic:
+    # manual-DMA slices must cover whole lane tiles)
     c_pad = -(-c // 128) * 128
     feats = []
     for f in features:
         pad_h = max(0, WIN_Y - f.shape[1])
-        pad_w = max(0, WIN_X - f.shape[2])
+        pad_w = max(WIN_X, -(-f.shape[2] // X_ALIGN) * X_ALIGN) - f.shape[2]
         if pad_h or pad_w or c_pad != c:
             f = jnp.pad(f, ((0, 0), (0, pad_h), (0, pad_w), (0, c_pad - c)))
         feats.append(f)
@@ -261,6 +344,29 @@ def multiscale_roi_align_pallas(
     lvl_idx = (lvl - min_level).reshape(-1)  # (N,)
     flat_boxes = jnp.nan_to_num(boxes.reshape(-1, 4))  # padded slots may be junk
     n = flat_boxes.shape[0]
+    bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r_boxes)
+
+    # fp32 (parity path) uses double the bytes everywhere — halve the
+    # program size so the scratches fit scoped VMEM
+    is_f32 = jnp.dtype(dtype) == jnp.float32
+    p = BOXES_PER_PROGRAM // (2 if is_f32 else 1)
+
+    # v4 map-resident path: eligible when the largest level map + the kron
+    # scratch fit comfortably in scoped VMEM (~16 MB); boxes are sorted by
+    # (image, level) so each map is DMA'd once per segment, not per box.
+    # The sort happens HERE, on the (N,)-sized geometry vectors, before the
+    # per-box weight tensors are built — sorting those instead costs ~2.4 GB
+    # of gather traffic at b128 serving shapes (measured slower than v3).
+    esize = jnp.dtype(dtype).itemsize
+    max_map_bytes = max(f.shape[1] * f.shape[2] for f in feats) * c_pad * esize
+    m_bytes = p * _ROWS * WIN_Y * WIN_X * (4 if is_f32 else esize)
+    use_resident = (max_map_bytes + m_bytes) <= RESIDENT_VMEM_BUDGET
+    if use_resident:
+        order = jnp.argsort(bidx * jnp.int32(num_levels) + lvl_idx.astype(jnp.int32), stable=True)
+        inv = jnp.argsort(order)
+        flat_boxes = jnp.take(flat_boxes, order, axis=0)
+        lvl_idx = jnp.take(lvl_idx, order)
+        bidx = jnp.take(bidx, order)
 
     scale = jnp.take(scales, lvl_idx)
     x1 = flat_boxes[:, 0] * scale - 0.5
@@ -282,16 +388,12 @@ def multiscale_roi_align_pallas(
     wy56 = jnp.repeat(wy8, _PH, axis=1)  # (N, 56, WIN_Y): row i = wy8[i//7]
     wx56 = jnp.tile(wx, (1, 8, 1))  # (N, 56, WIN_X): row i = wx[i%7]
 
-    bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r_boxes)
+    lvl32 = lvl_idx.astype(jnp.int32)
+    seg_key = bidx * num_levels + lvl32  # resident-map segment id
     ints = jnp.stack(
-        [bidx, y0.astype(jnp.int32), x0.astype(jnp.int32), lvl_idx.astype(jnp.int32)], axis=1
-    )  # (N, 4)
+        [bidx, y0.astype(jnp.int32), x0.astype(jnp.int32), lvl32, seg_key], axis=1
+    )  # (N, 5)
 
-    # fp32 (parity path) uses double the bytes everywhere — halve the
-    # program size and ring so scratches fit the 16 MB scoped-VMEM limit
-    is_f32 = jnp.dtype(dtype) == jnp.float32
-    p = BOXES_PER_PROGRAM // (2 if is_f32 else 1)
-    ring = 3 if is_f32 else RING
     n_pad = ((n + p - 1) // p) * p
     if n_pad != n:
         ints = jnp.pad(ints, ((0, n_pad - n), (0, 0)))
@@ -305,12 +407,30 @@ def multiscale_roi_align_pallas(
         jnp.float32,
     )
 
-    kernel = _kernel_factory(num_levels, c_pad, c, p, ring, dtype)
+    if use_resident:
+        kernel, (max_h, max_w) = _kernel_factory_resident(
+            num_levels, c_pad, c, p, dtype, [(f.shape[1], f.shape[2]) for f in feats]
+        )
+        scratch = [
+            pltpu.VMEM((max_h, max_w, c_pad), dtype),
+            pltpu.VMEM((p * _ROWS, WIN_Y * WIN_X),
+                       jnp.float32 if is_f32 else dtype),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        kernel = _kernel_factory(num_levels, c_pad, c, p, dtype)
+        scratch = [
+            pltpu.VMEM((p, WIN_Y, WIN_X, c_pad), dtype),
+            pltpu.VMEM((p * _ROWS, WIN_Y * WIN_X),
+                       jnp.float32 if is_f32 else dtype),
+            pltpu.SemaphoreType.DMA((p,)),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((p, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((p, 5), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((p * _ROWS, WIN_Y), lambda i: (i, 0)),
             pl.BlockSpec((p * _ROWS, WIN_X), lambda i: (i, 0)),
             pl.BlockSpec((WIN_Y, WIN_Y * WIN_X), lambda i: (0, 0)),
@@ -318,13 +438,10 @@ def multiscale_roi_align_pallas(
         + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
         out_specs=pl.BlockSpec((p * _ROWS, c), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_pad * _ROWS, c), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((ring, WIN_Y, WIN_X, c_pad), dtype),
-            pltpu.VMEM((p * _ROWS, WIN_Y * WIN_X),
-                       jnp.float32 if is_f32 else dtype),
-            pltpu.SemaphoreType.DMA((ring,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(ints, wy56.reshape(n_pad * _ROWS, WIN_Y), wx56.reshape(n_pad * _ROWS, WIN_X), t_sel, *feats)
     out = out.reshape(n_pad, 8, _PH, c)[:n, :_PH]  # drop the py pad row
+    if use_resident:
+        out = jnp.take(out, inv, axis=0)  # undo the segment sort
     return out.reshape(b, r_boxes, ph, pw, c)

@@ -60,7 +60,7 @@ _CIN_PAD = 16  # sublane-tile-aligned channel rows in the transposed layout
 def _kernel_factory(c_out: int, w_out: int, strip_rows: int, out_dtype, is_f32: bool):
     n_y = 2 * _ROWS_PER_PROG + 1  # conv rows needed by one program
 
-    def kernel(w_ref, b_ref, s_ref, xs_ref, out_ref, strip, sem):
+    def kernel(w_ref, b_ref, s_ref, xs_ref, out_ref, strip, r_scr, sem):
         k2 = pl.program_id(1)
 
         # strip DMA: 36 s2d rows (12 sublane-channels each) for this block
@@ -84,24 +84,26 @@ def _kernel_factory(c_out: int, w_out: int, strip_rows: int, out_dtype, is_f32: 
         s2d = strip[:].reshape(strip_rows * _CIN_PAD, _LANES)
         mm_dtype = jnp.float32 if is_f32 else out_dtype
 
-        # each (padded-row, tx) rolled slice is shared by up to 4 conv rows
-        # — precompute all of them once (144 rolls instead of 33·16) and in
-        # the matmul dtype, so the per-row work is just concat + matmul
-        rolled = []
+        # v2: write every (strip-row, tx) rolled slice ONCE into the rhs
+        # scratch, laid out so a conv row's whole (192, 384) rhs is a
+        # CONTIGUOUS sublane range — r_scr row order is (s, tx, cin), and
+        # conv row ly (taps s = ly..ly+3, ty-major weight order) reads
+        # r_scr[ly·48 : ly·48+192] with zero copies. The v1 kernel instead
+        # re-concatenated 16 slices per conv row (33 × 16 copies), which
+        # measured as expensive as XLA's whole conv+pool.
         for s in range(strip_rows):
             sl = s2d[s * _CIN_PAD:s * _CIN_PAD + _CIN, :]
-            row = []
             for tx in range(4):
                 # output lane xp (conv col x = xp−2) needs the value at
                 # lane xp + tx − 2 → roll by 2 − tx (non-negative form)
                 shift = (2 - tx) % _LANES
-                row.append((sl if shift == 0 else pltpu.roll(sl, shift, axis=1)).astype(mm_dtype))
-            rolled.append(row)
+                r_scr[s * 4 * _CIN + tx * _CIN:s * 4 * _CIN + (tx + 1) * _CIN, :] = (
+                    (sl if shift == 0 else pltpu.roll(sl, shift, axis=1)).astype(mm_dtype)
+                )
 
         def conv_row(ly):
             """conv output row (64, 384) for local conv-row index ly."""
-            parts = [rolled[ly + ty][tx] for ty in range(4) for tx in range(4)]
-            rhs = jnp.concatenate(parts, axis=0)  # (192, 384)
+            rhs = r_scr[ly * 4 * _CIN:(ly + 4) * 4 * _CIN, :]  # (192, 384), no copy
             acc = jnp.dot(
                 w_mat.astype(mm_dtype), rhs,
                 preferred_element_type=jnp.float32, precision=precision,
@@ -193,6 +195,10 @@ def fused_stem(
         out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, c_out), dtype),
         scratch_shapes=[
             pltpu.VMEM((strip_rows, _CIN_PAD, _LANES), jnp.float32),
+            pltpu.VMEM(
+                (strip_rows * 4 * _CIN, _LANES),
+                jnp.float32 if is_f32 else dtype,
+            ),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -37,6 +37,7 @@ def _load_library() -> ctypes.CDLL:
         lib.detax_batcher_create.restype = ctypes.c_void_p
         lib.detax_batcher_create.argtypes = [ctypes.c_size_t, ctypes.c_double]
         lib.detax_batcher_destroy.argtypes = [ctypes.c_void_p]
+        lib.detax_batcher_shutdown.argtypes = [ctypes.c_void_p]
         lib.detax_batcher_submit.restype = ctypes.c_uint64
         lib.detax_batcher_submit.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t]
         lib.detax_batcher_next_batch.restype = ctypes.c_size_t
@@ -110,6 +111,13 @@ class DynamicBatcher:
 
     def completed(self) -> int:
         return self._lib.detax_batcher_completed(self._handle)
+
+    def shutdown(self) -> None:
+        """Wake all blocked next_batch/wait_result callers (they return
+        empty). Safe to call before ``close``; the handle stays valid so
+        in-flight post_result calls can still land."""
+        if not self._closed:
+            self._lib.detax_batcher_shutdown(self._handle)
 
     def close(self) -> None:
         if not self._closed:

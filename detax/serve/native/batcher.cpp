@@ -102,7 +102,10 @@ void* detax_batcher_create(size_t max_batch, double batch_timeout_us) {
   return b;
 }
 
-void detax_batcher_destroy(void* handle) {
+// Flag shutdown and wake every blocked thread (next_batch / wait_result
+// return 0). Does NOT free the handle: callers must drain their own threads
+// between shutdown and destroy, else a woken thread races the delete.
+void detax_batcher_shutdown(void* handle) {
   auto* b = static_cast<Batcher*>(handle);
   {
     std::lock_guard<std::mutex> lock(b->mu);
@@ -110,7 +113,11 @@ void detax_batcher_destroy(void* handle) {
   }
   b->queue_cv.notify_all();
   b->result_cv.notify_all();
-  delete b;
+}
+
+void detax_batcher_destroy(void* handle) {
+  detax_batcher_shutdown(handle);
+  delete static_cast<Batcher*>(handle);
 }
 
 // Submit a request payload; returns the assigned request id.

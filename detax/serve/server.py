@@ -152,14 +152,29 @@ class DetectionService:
         self._thread.start()
 
     def stop(self) -> None:
+        # Ordering matters: wake the runner out of next_batch, join it, drain
+        # every in-flight fan-out task, and only THEN destroy the native
+        # handle — a pool worker calling post_result on a freed batcher is a
+        # use-after-free.
         self._stop.set()
+        self.batcher.shutdown()
+        if self._thread is not None:
+            self._thread.join(timeout=10.0)
+            self._thread = None
+        self._post_pool.shutdown(wait=True)
         self.batcher.close()
-        self._post_pool.shutdown(wait=False)
 
     def _run(self) -> None:
+        import collections
+
         import jax.numpy as jnp
 
         size = self.pconf.image_size
+        # backpressure: at most 2 batches in flight (one on device, one in
+        # fan-out). Without a bound the runner can dispatch arbitrarily far
+        # ahead of the device under overload, pinning device output buffers
+        # in the unbounded executor queue.
+        inflight = collections.deque()
 
         while not self._stop.is_set():
             ids, payloads = self.batcher.next_batch()
@@ -202,7 +217,11 @@ class DetectionService:
             )
             # async dispatch done — hand transfer+encode to the pool and go
             # pull the next batch (overlaps with this batch's device time)
-            self._post_pool.submit(self._post_results, list(ids), packed, scales.copy())
+            inflight.append(
+                self._post_pool.submit(self._post_results, list(ids), packed, scales.copy())
+            )
+            while len(inflight) > 2:
+                inflight.popleft().result()
 
     def _post_results(self, ids, packed, scales) -> None:
         try:

@@ -53,6 +53,35 @@ def test_pallas_small_top_level_map(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_unaligned_width_right_edge_boxes(rng):
+    # 800 canvas → map widths 200/100/50/25; 100, 50, 25 are NOT multiples of
+    # the 8-cell DMA alignment. Without width padding to X_ALIGN the aligned
+    # window's clip bound (pad_w - WIN_X) falls up to 7 cells short of the
+    # right edge and edge-box taps silently clip onto the wrong column.
+    strides = [4, 8, 16, 32]
+    b, c, size = 1, 6, 800
+    feats = [
+        jnp.asarray(rng.randn(b, size // s, size // s, c), np.float32)
+        for s in strides
+    ]
+    # right-edge-hugging boxes with areas targeting each level
+    boxes = jnp.asarray(
+        [[
+            [size - 40.0, 100.0, size - 1.0, 140.0],   # ~level 2
+            [size - 100.0, 200.0, size - 1.0, 300.0],  # ~level 3
+            [size - 200.0, 100.0, size - 1.0, 300.0],  # ~level 4
+            [size - 420.0, 50.0, size - 1.0, 470.0],   # ~level 5
+            [size - 64.0, size - 64.0, size - 1.0, size - 1.0],  # corner
+        ]],
+        np.float32,
+    )
+    want = np.asarray(
+        multiscale_roi_align(feats, boxes, strides, (7, 7), 2, True, max_side_cells=28)
+    )
+    got = np.asarray(multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_ratio_one(rng):
     feats, boxes, strides = _setup(rng, n=5)
     want = np.asarray(
