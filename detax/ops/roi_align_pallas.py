@@ -70,6 +70,7 @@ BOXES_PER_PROGRAM = 24  # ring == p: every window resident in VMEM at once
 RESIDENT_VMEM_BUDGET = 12 * 1024 * 1024  # v4 map-resident path eligibility
 _PH = 7  # kernel is specialised for 7x7 output (the reference contract)
 _ROWS = 56  # padded kron rows: 8 (padded ph) x 7 (pw)
+_WIN_YP = WIN_Y // 2  # packed window rows (y pairs in lanes), c<=64 path
 
 
 def _kernel_factory(num_levels: int, c: int, c_out: int, p: int, out_dtype):
@@ -165,6 +166,88 @@ def _kernel_factory(num_levels: int, c: int, c_out: int, p: int, out_dtype):
         for j in range(p):
             wait_dma(j)
             compute(j)
+
+    return kernel
+
+
+def _kernel_factory_packed(num_levels: int, c_out: int, p: int, out_dtype):
+    """Y-pair-packed kernel for c_out ≤ 64: the feature maps are stored as
+    ``(B, H/2, W, 128)`` with row pairs interleaved into the lanes
+    (lane = parity·64 + channel), so each box's window DMA moves
+    (16, 40, 128) — HALF the bytes of the c-padded (32, 40, 128) window.
+    The probe series showed the kernel is DMA-bytes-bound (38.65 of 39 ms
+    at b128 serving shapes), so bytes ≈ time.
+
+    The pooled reduce stays two MXU matmuls with the SAME total K tiles as
+    the unpacked kernel (2 × K=640 vs 1 × K=1280): M_even applies the
+    even-row bilinear weights (correct in the parity-0 lane half), M_odd
+    the odd-row weights (correct in the parity-1 half), and the halves are
+    combined with a 64-lane fp32 roll + add."""
+
+    def kernel(ints_ref, wye_ref, wyo_ref, wx_ref, t_ref, *refs):
+        feat_refs = refs[:num_levels]
+        out_ref = refs[num_levels]
+        window = refs[num_levels + 1]  # (p, WIN_YP, WIN_X, 128)
+        me_scr = refs[num_levels + 2]
+        mo_scr = refs[num_levels + 3]
+        sems = refs[num_levels + 4]
+
+        def start_dma(j):
+            bidx = ints_ref[j, 0]
+            y0p = ints_ref[j, 1]  # packed-row origin (= y0 / 2)
+            x0 = pl.multiple_of((ints_ref[j, 2] // X_ALIGN) * X_ALIGN, X_ALIGN)
+            level = ints_ref[j, 3]
+            for l in range(num_levels):
+                @pl.when(level == l)
+                def _():
+                    pltpu.make_async_copy(
+                        feat_refs[l].at[bidx, pl.ds(y0p, _WIN_YP), pl.ds(x0, WIN_X), :],
+                        window.at[j],
+                        sems.at[j],
+                    ).start()
+
+        def wait_dma(j):
+            pltpu.make_async_copy(
+                feat_refs[0].at[0, pl.ds(0, _WIN_YP), pl.ds(0, WIN_X), :],
+                window.at[j],
+                sems.at[j],
+            ).wait()
+
+        for j in range(p):
+            start_dma(j)
+
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if jnp.dtype(out_dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        mm_dtype = jnp.float32 if jnp.dtype(out_dtype) == jnp.float32 else out_dtype
+
+        chunk = max(1, p // 4) * _ROWS
+        for q in range(0, p * _ROWS, chunk):
+            a1 = pltpu.repeat(wx_ref[q:q + chunk, :].astype(mm_dtype), _WIN_YP, axis=1)
+            for wref, scr in ((wye_ref, me_scr), (wyo_ref, mo_scr)):
+                a2 = jnp.dot(
+                    wref[q:q + chunk, :].astype(mm_dtype),
+                    t_ref[:].astype(mm_dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+                scr[q:q + chunk, :] = a1 * a2.astype(mm_dtype)
+
+        for j in range(p):
+            wait_dma(j)
+            win = window[j].reshape(_WIN_YP * WIN_X, 128)
+            oe = jnp.dot(
+                me_scr[j * _ROWS:(j + 1) * _ROWS, :].astype(win.dtype), win,
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # (56, 128) fp32: parity-0 half valid
+            oo = jnp.dot(
+                mo_scr[j * _ROWS:(j + 1) * _ROWS, :].astype(win.dtype), win,
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # parity-1 half valid
+            o = oe + pltpu.roll(oo, 64, axis=1)  # fp32 roll (bf16 roll unsupported)
+            out_ref[pl.ds(j * _ROWS, _ROWS), :] = o[:, :c_out].astype(out_dtype)
 
     return kernel
 
@@ -318,20 +401,41 @@ def multiscale_roi_align_pallas(
     # x0 clip bound pad_w - WIN_X must itself be 8-aligned, else the aligned
     # window stops short of the right edge and edge-box taps get clipped to
     # the wrong column), and pad channels to the 128-lane tile (Mosaic:
-    # manual-DMA slices must cover whole lane tiles)
-    c_pad = -(-c // 128) * 128
+    # manual-DMA slices must cover whole lane tiles).
+    #
+    # c ≤ 64 (the FPN serving case) takes the Y-PAIR-PACKED path: row pairs
+    # interleave into the 128 lanes, halving every window DMA (the kernel is
+    # DMA-bytes-bound — see _kernel_factory_packed).
+    use_packed = c <= 64
+    c_pad = 128 if use_packed else -(-c // 128) * 128
     feats = []
+    pad_hs, pad_ws = [], []
     for f in features:
-        pad_h = max(0, WIN_Y - f.shape[1])
-        pad_w = max(WIN_X, -(-f.shape[2] // X_ALIGN) * X_ALIGN) - f.shape[2]
-        if pad_h or pad_w or c_pad != c:
-            f = jnp.pad(f, ((0, 0), (0, pad_h), (0, pad_w), (0, c_pad - c)))
+        if use_packed:
+            # height padded EVEN (row pairs) and ≥ WIN_Y
+            hp = max(WIN_Y, f.shape[1] + (f.shape[1] & 1))
+        else:
+            hp = max(WIN_Y, f.shape[1])
+        wp = max(WIN_X, -(-f.shape[2] // X_ALIGN) * X_ALIGN)
+        cp = 64 if use_packed else c_pad
+        if (hp, wp, cp) != f.shape[1:]:
+            f = jnp.pad(
+                f, ((0, 0), (0, hp - f.shape[1]), (0, wp - f.shape[2]), (0, cp - c))
+            )
+        if use_packed:
+            f = (
+                f.reshape(b, hp // 2, 2, wp, 64)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(b, hp // 2, wp, 128)
+            )
+        pad_hs.append(hp)
+        pad_ws.append(wp)
         feats.append(f)
 
     heights = jnp.array([f.shape[1] for f in features], jnp.float32)  # true extents
     widths = jnp.array([f.shape[2] for f in features], jnp.float32)
-    pad_heights = jnp.array([f.shape[1] for f in feats], jnp.int32)
-    pad_widths = jnp.array([f.shape[2] for f in feats], jnp.int32)
+    pad_heights = jnp.array(pad_hs, jnp.int32)  # UNPACKED padded extents
+    pad_widths = jnp.array(pad_ws, jnp.int32)
     scales = jnp.array([1.0 / s for s in strides], jnp.float32)
 
     # span-aware bump: the longer side must fit the window (28 cells + the
@@ -360,7 +464,9 @@ def multiscale_roi_align_pallas(
     esize = jnp.dtype(dtype).itemsize
     max_map_bytes = max(f.shape[1] * f.shape[2] for f in feats) * c_pad * esize
     m_bytes = p * _ROWS * WIN_Y * WIN_X * (4 if is_f32 else esize)
-    use_resident = (max_map_bytes + m_bytes) <= RESIDENT_VMEM_BUDGET
+    use_resident = (
+        not use_packed and (max_map_bytes + m_bytes) <= RESIDENT_VMEM_BUDGET
+    )
     if use_resident:
         order = jnp.argsort(bidx * jnp.int32(num_levels) + lvl_idx.astype(jnp.int32), stable=True)
         inv = jnp.argsort(order)
@@ -379,6 +485,11 @@ def multiscale_roi_align_pallas(
     h_true = jnp.take(heights, lvl_idx)
     w_true = jnp.take(widths, lvl_idx)
     y0 = jnp.clip(jnp.floor(y1), 0, jnp.take(pad_heights, lvl_idx).astype(jnp.float32) - WIN_Y)
+    if use_packed:
+        # packed windows start on a row PAIR; footprint ≤ 30 rows + 1 drift
+        # still fits the 32-row window (clip bound is even: pad_h and WIN_Y
+        # are both even)
+        y0 = jnp.floor(y0 / 2) * 2
     x0 = jnp.clip(jnp.floor(x1), 0, jnp.take(pad_widths, lvl_idx).astype(jnp.float32) - WIN_X)
     x0 = jnp.floor(x0 / X_ALIGN) * X_ALIGN  # provable 8-alignment for the DMA
 
@@ -390,8 +501,9 @@ def multiscale_roi_align_pallas(
 
     lvl32 = lvl_idx.astype(jnp.int32)
     seg_key = bidx * num_levels + lvl32  # resident-map segment id
+    y0_col = (y0 / 2 if use_packed else y0).astype(jnp.int32)  # packed-row origin
     ints = jnp.stack(
-        [bidx, y0.astype(jnp.int32), x0.astype(jnp.int32), lvl32, seg_key], axis=1
+        [bidx, y0_col, x0.astype(jnp.int32), lvl32, seg_key], axis=1
     )  # (N, 5)
 
     n_pad = ((n + p - 1) // p) * p
@@ -402,10 +514,45 @@ def multiscale_roi_align_pallas(
     grid = n_pad // p
 
     # constant lane block-selector T[y, j] = (j // WIN_X == y)
+    t_rows = _WIN_YP if use_packed else WIN_Y
     t_sel = jnp.asarray(
-        (np.arange(WIN_Y * WIN_X)[None, :] // WIN_X) == np.arange(WIN_Y)[:, None],
+        (np.arange(t_rows * WIN_X)[None, :] // WIN_X) == np.arange(t_rows)[:, None],
         jnp.float32,
     )
+
+    if use_packed:
+        kernel = _kernel_factory_packed(num_levels, c, p, dtype)
+        m_dt = jnp.float32 if is_f32 else dtype
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((p, 5), lambda i: (i, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((p * _ROWS, _WIN_YP), lambda i: (i, 0)),  # wy even
+                pl.BlockSpec((p * _ROWS, _WIN_YP), lambda i: (i, 0)),  # wy odd
+                pl.BlockSpec((p * _ROWS, WIN_X), lambda i: (i, 0)),
+                pl.BlockSpec((_WIN_YP, _WIN_YP * WIN_X), lambda i: (0, 0)),
+            ]
+            + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
+            out_specs=pl.BlockSpec((p * _ROWS, c), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_pad * _ROWS, c), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((p, _WIN_YP, WIN_X, 128), dtype),
+                pltpu.VMEM((p * _ROWS, _WIN_YP * WIN_X), m_dt),
+                pltpu.VMEM((p * _ROWS, _WIN_YP * WIN_X), m_dt),
+                pltpu.SemaphoreType.DMA((p,)),
+            ],
+            interpret=interpret,
+        )(
+            ints,
+            wy56[..., 0::2].reshape(n_pad * _ROWS, _WIN_YP),
+            wy56[..., 1::2].reshape(n_pad * _ROWS, _WIN_YP),
+            wx56.reshape(n_pad * _ROWS, WIN_X),
+            t_sel,
+            *feats,
+        )
+        out = out.reshape(n_pad, 8, _PH, c)[:n, :_PH]  # drop the py pad row
+        return out.reshape(b, r_boxes, ph, pw, c)
 
     if use_resident:
         kernel, (max_h, max_w) = _kernel_factory_resident(

@@ -82,6 +82,17 @@ def test_pallas_unaligned_width_right_edge_boxes(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_wide_channels_unpacked_path(rng):
+    # c > 64 takes the unpacked (c-padded) kernel; keep it covered now that
+    # the default tests (c ≤ 64) exercise the Y-pair-packed path
+    feats, boxes, strides = _setup(rng, b=1, n=8, c=80)
+    want = np.asarray(
+        multiscale_roi_align(feats, boxes, strides, (7, 7), 2, True, max_side_cells=28)
+    )
+    got = np.asarray(multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_ratio_one(rng):
     feats, boxes, strides = _setup(rng, n=5)
     want = np.asarray(
