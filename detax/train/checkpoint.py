@@ -20,6 +20,23 @@ from detax.train.train_state import TrainState
 BEST_NAME = "model_best"
 
 
+def _globalize(tree):
+    """Multi-host: host-local fully-replicated leaves (step, rng, host-built
+    optimizer scalars) are not serializable — convert them to global arrays.
+    Globally-sharded leaves (not fully addressable from one process) pass
+    through untouched. No-op single-process."""
+    if jax.process_count() == 1:
+        return tree
+    from orbax.checkpoint import utils as ocp_utils
+
+    def fix(x):
+        if isinstance(x, jax.Array) and x.is_fully_addressable:
+            return ocp_utils.fully_replicated_host_local_array_to_global_array(x)
+        return x
+
+    return jax.tree_util.tree_map(fix, tree)
+
+
 class CheckpointManager:
     """Thin wrapper over Orbax's CheckpointManager.
 
@@ -37,7 +54,8 @@ class CheckpointManager:
         self._best = ocp.StandardCheckpointer()
 
     def save(self, state: TrainState, is_best: bool = False, wait: bool = False) -> None:
-        step = int(state.step)
+        step = int(jax.device_get(state.step))
+        state = _globalize(state)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         if is_best:
             path = os.path.join(self.directory, BEST_NAME)
@@ -46,15 +64,18 @@ class CheckpointManager:
             self._mgr.wait_until_finished()
 
     def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
-        """Restore latest (or given) step into the shape/sharding of ``template``."""
+        """Restore latest (or given) step into the shape/sharding of ``template``.
+
+        Multi-host: host-local replicated template leaves come back as
+        GLOBAL replicated arrays (read them via ``.addressable_shards``)."""
         if step is None:
             step = self._mgr.latest_step()
         assert step is not None, f"no checkpoint found in {self.directory}"
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(_globalize(template)))
 
     def restore_best(self, template: TrainState) -> TrainState:
         path = os.path.join(self.directory, BEST_NAME)
-        return self._best.restore(path, target=template)
+        return self._best.restore(path, target=_globalize(template))
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

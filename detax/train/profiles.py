@@ -1,0 +1,138 @@
+"""Inference-profile definitions + ΔmAP evaluation helpers.
+
+The serving-speed levers (approx top-k selection, Pallas NMS, Pallas window
+pooler, reduced candidate counts) are quality-affecting in principle; this
+module makes each one a named *profile* of the flagship detector so a single
+trained checkpoint can be scored under every profile with the COCO-exact
+evaluator (``detax.evaluate``). Used by ``scripts/eval_dmap.py`` (full-size
+table on TPU) and ``tests/test_dmap_regression.py`` (budget gate).
+
+Measured on TPU (r3, 300-step synthetic 256² checkpoint, 64 eval images):
+approx_topk and pallas_nms are EXACTLY quality-neutral (ΔmAP 0.0000);
+the pooler's sampling_ratio=1 costs ~1.9 mAP pts while sampling_ratio=2 is
+free in the Pallas kernel (weights are host-precomputed) — so the serving
+profile runs r=2.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+PROFILES = (
+    "exact", "approx_topk", "pallas_nms", "pallas_pool", "pallas_pool_r2",
+    "serving", "serving_r2",
+)
+
+
+def build_frcnn_conf(size: int, num_classes: int, profile: str, base=None):
+    """Flagship Faster R-CNN conf under a named inference profile.
+
+    ``exact`` is the parity oracle (reference defaults: lax.top_k, exact
+    NMS, gather pooler, sampling_ratio 2)."""
+    from detax.configs import FasterRCNNConf, PreprocessConf
+
+    if base is None:
+        base = FasterRCNNConf(preprocess=PreprocessConf(image_size=size))
+    base = base.replace(roi=base.roi.replace(num_classes=num_classes))
+    if profile == "exact":
+        return base
+    if profile == "approx_topk":
+        return base.replace(
+            rpn=base.rpn.replace(topk_impl="approx"),
+            roi=base.roi.replace(topk_impl="approx"),
+        )
+    if profile == "pallas_nms":
+        return base.replace(
+            rpn=base.rpn.replace(nms_impl="pallas"),
+            roi=base.roi.replace(nms_impl="pallas"),
+        )
+    if profile in ("pallas_pool", "pallas_pool_r2"):
+        r = 2 if profile.endswith("r2") else 1
+        return base.replace(
+            roi=base.roi.replace(
+                box_pooler=base.roi.box_pooler.replace(sampling_ratio=r, impl="pallas")
+            )
+        )
+    if profile in ("serving", "serving_r2"):
+        r = 2 if profile.endswith("r2") else 1
+        return base.replace(
+            rpn=base.rpn.replace(
+                pre_nms_topk=(2000, 1000), post_nms_topk=(2000, 300),
+                nms_impl="pallas", topk_impl="approx",
+            ),
+            roi=base.roi.replace(
+                nms_impl="pallas", topk_impl="approx",
+                box_pooler=base.roi.box_pooler.replace(sampling_ratio=r, impl="pallas"),
+            ),
+        )
+    raise ValueError(f"unknown profile {profile!r}")
+
+
+def train_flagship(
+    size: int,
+    num_classes: int,
+    steps: int,
+    batch: int,
+    seed: int = 0,
+    base_conf=None,
+    num_images: int = 256,
+    log_every: int = 50,
+):
+    """Train the exact-profile flagship on synthetic COCO-style data;
+    returns (host params, conf)."""
+    import time
+
+    from detax.models import FasterRCNN
+    from detax.train.coco import SyntheticCOCO, make_batches, prefetch_batches
+    from detax.train.step import make_train_step
+    from detax.train.train_state import create_train_state
+
+    conf = build_frcnn_conf(size, num_classes, "exact", base=base_conf)
+    model = FasterRCNN(conf=conf, dtype=jnp.bfloat16)
+    ds = SyntheticCOCO(num_images=num_images, image_size=size, num_classes=num_classes, seed=seed)
+    batches = prefetch_batches(
+        make_batches(ds, batch, conf.preprocess, max_gt_boxes=conf.max_gt_boxes)
+    )
+    images0, gt0 = next(batches)
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), images0)
+    state, tx = create_train_state(params, rng=jax.random.PRNGKey(seed))
+    step_fn = make_train_step(model, tx)
+    t0 = time.time()
+    for i in range(steps):
+        images, gt = (images0, gt0) if i == 0 else next(batches)
+        state, metrics = step_fn(state, images, gt)
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            loss = float(jax.device_get(metrics["total_loss"]))
+            print(f"  step {i}: loss={loss:.3f} ({time.time()-t0:.0f}s)", flush=True)
+    return jax.device_get(state.params), conf
+
+
+def eval_profile(
+    params,
+    size: int,
+    num_classes: int,
+    profile: str,
+    eval_images: int,
+    batch: int,
+    seed: int = 1,
+    base_conf=None,
+):
+    """mAP of one checkpoint under one profile on held-out synthetic data."""
+    from detax.evaluate import DetectionEvaluator
+    from detax.models import FasterRCNN
+    from detax.train.coco import SyntheticCOCO, make_batches
+
+    conf = build_frcnn_conf(size, num_classes, profile, base=base_conf)
+    model = FasterRCNN(conf=conf, dtype=jnp.bfloat16)
+    fwd = jax.jit(lambda p, im: model.apply(p, im))
+    ds = SyntheticCOCO(num_images=eval_images, image_size=size, num_classes=num_classes, seed=seed)
+    ev = DetectionEvaluator(num_classes)
+    for images, gt in make_batches(
+        ds, batch, conf.preprocess, max_gt_boxes=conf.max_gt_boxes, epochs=1, seed=seed
+    ):
+        dets = fwd(params, images)
+        ev.add_batch(jax.device_get(dets), jax.device_get(gt))
+    return ev.summarize()

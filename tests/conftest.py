@@ -40,3 +40,6 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "multihost: spawns coordinated multi-process jax.distributed workers"
     )
+    config.addinivalue_line(
+        "markers", "slow: micro-training quality gates (minutes on one CPU core)"
+    )

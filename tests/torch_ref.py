@@ -141,6 +141,40 @@ class TorchRPNHead(nn.Module):
         return logits, deltas
 
 
+class TorchRetinaHead(nn.Module):
+    """RetinaNet head oracle mirroring ``detax.nn.retina_head``: shared
+    ``num_convs``-deep cls/box towers + 3×3 predictors, flattened in detax's
+    (h, w, a) order."""
+
+    def __init__(self, channels=64, num_anchors=3, num_classes=8, num_convs=1):
+        super().__init__()
+        self.cls_tower = nn.ModuleList(
+            [nn.Conv2d(channels, channels, 3, padding=1) for _ in range(num_convs)]
+        )
+        self.box_tower = nn.ModuleList(
+            [nn.Conv2d(channels, channels, 3, padding=1) for _ in range(num_convs)]
+        )
+        self.cls_score = nn.Conv2d(channels, num_anchors * num_classes, 3, padding=1)
+        self.bbox_pred = nn.Conv2d(channels, num_anchors * 4, 3, padding=1)
+        self.num_classes = num_classes
+
+    def forward(self, feats):
+        logits, deltas = [], []
+        for x in feats:
+            c = x
+            for conv in self.cls_tower:
+                c = torch.relu(conv(c))
+            b = x
+            for conv in self.box_tower:
+                b = torch.relu(conv(b))
+            lg = self.cls_score(c)  # (N, A*C, H, W)
+            dl = self.bbox_pred(b)  # (N, A*4, H, W)
+            n, _, h, w = lg.shape
+            logits.append(lg.permute(0, 2, 3, 1).reshape(n, h * w * lg.shape[1] // self.num_classes, self.num_classes))
+            deltas.append(dl.permute(0, 2, 3, 1).reshape(n, h * w * dl.shape[1] // 4, 4))
+        return logits, deltas
+
+
 def _t_kernel(k):
     """detax HWIO conv kernel → torch OIHW tensor."""
     import numpy as np
@@ -174,4 +208,24 @@ def load_rpn_head_from_detax(module: TorchRPNHead, rpn_params) -> None:
         module.objectness.bias.copy_(torch.from_numpy(np.asarray(h["objectness_logits"]["bias"]).copy()))
         module.deltas.weight.copy_(_t_kernel(h["anchor_deltas"]["kernel"]))
         module.deltas.bias.copy_(torch.from_numpy(np.asarray(h["anchor_deltas"]["bias"]).copy()))
+    module.eval()
+
+
+def load_retina_head_from_detax(module: TorchRetinaHead, head_params) -> None:
+    """Copy detax RetinaNet-head params (params['head']) into the oracle."""
+    import numpy as np
+
+    with torch.no_grad():
+        for i, conv in enumerate(module.cls_tower):
+            p = head_params[f"cls_conv{i}"]
+            conv.weight.copy_(_t_kernel(p["kernel"]))
+            conv.bias.copy_(torch.from_numpy(np.asarray(p["bias"]).copy()))
+        for i, conv in enumerate(module.box_tower):
+            p = head_params[f"box_conv{i}"]
+            conv.weight.copy_(_t_kernel(p["kernel"]))
+            conv.bias.copy_(torch.from_numpy(np.asarray(p["bias"]).copy()))
+        module.cls_score.weight.copy_(_t_kernel(head_params["cls_score"]["kernel"]))
+        module.cls_score.bias.copy_(torch.from_numpy(np.asarray(head_params["cls_score"]["bias"]).copy()))
+        module.bbox_pred.weight.copy_(_t_kernel(head_params["bbox_pred"]["kernel"]))
+        module.bbox_pred.bias.copy_(torch.from_numpy(np.asarray(head_params["bbox_pred"]["bias"]).copy()))
     module.eval()
