@@ -37,9 +37,10 @@ def _build_model(
     if num_classes != conf.roi.num_classes or mask_on:
         conf = conf.replace(roi=conf.roi.replace(num_classes=num_classes, mask_on=mask_on))
     if profile == "tpu":
-        # serving profile (see bench.py): Pallas NMS + window-DMA ROIAlign,
-        # approx pre-NMS top-k, 1000/level pre-NMS, test-time 300 proposals,
-        # sampling_ratio 1
+        # serving profile (see bench.py + detax/train/profiles.py): Pallas
+        # NMS + window-DMA ROIAlign at sampling_ratio 2 (measured
+        # quality-neutral lever set — serving_r2 in scripts/eval_dmap.py),
+        # approx pre-NMS top-k, 1000/level pre-NMS, test-time 300 proposals
         conf = conf.replace(
             rpn=conf.rpn.replace(
                 pre_nms_topk=(2000, 1000),
@@ -50,7 +51,7 @@ def _build_model(
             roi=conf.roi.replace(
                 nms_impl="pallas",
                 topk_impl="approx",
-                box_pooler=conf.roi.box_pooler.replace(sampling_ratio=1, impl="pallas"),
+                box_pooler=conf.roi.box_pooler.replace(sampling_ratio=2, impl="pallas"),
             ),
         )
     return FasterRCNN(conf=conf, dtype=jnp.bfloat16), conf
@@ -154,13 +155,28 @@ def cmd_serve(args: argparse.Namespace) -> None:
     model, conf = _build_model(args.image_size, args.num_classes, profile=args.profile)
     import jax.numpy as jnp
 
+    from detax.serve import aot
+
+    conf_json = json.dumps(conf.to_dict(), sort_keys=True)
     init = ImageBatch.from_pixels(jnp.zeros((1, args.image_size, args.image_size, 3)))
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), init)
+    t0 = time.time()
+    # the init program is AOT-cached like the serving buckets: a warm
+    # restart skips its XLA compile too (measured 63 s of the cold start)
+    init_exe, how = aot.compile_or_load(
+        args.aot_cache or None, "init|" + conf_json, model.init,
+        jax.random.PRNGKey(0), init,
+    )
+    params = init_exe(jax.random.PRNGKey(0), init)
+    print(f"params init in {time.time() - t0:.1f}s ({how})", flush=True)
     service = DetectionService(
         model, params, conf.preprocess, max_batch=args.batch,
         batch_timeout_ms=args.batch_timeout_ms,
+        aot_cache=args.aot_cache or None,
+        conf_json=conf_json,
     )
+    t0 = time.time()
     service.start()
+    print(f"warmup done in {time.time() - t0:.1f}s", flush=True)
     serve(service, port=args.port)
     print(f"serving on :{args.port} (POST /detect, GET /stats)")
     try:
@@ -231,6 +247,11 @@ def main() -> None:
     s.add_argument("--image-size", type=int, default=640)
     s.add_argument("--num-classes", type=int, default=80)
     s.add_argument("--profile", choices=["reference", "tpu"], default="tpu")
+    s.add_argument(
+        "--aot-cache", default="/tmp/detax_aot_cache",
+        help="dir for serialized compiled executables (warm restarts skip "
+        "the XLA compile); '' disables",
+    )
     s.set_defaults(fn=cmd_serve)
 
     d = sub.add_parser("detect", help="run detection on one image")

@@ -57,6 +57,8 @@ class DetectionService:
         max_batch: int = 8,
         batch_timeout_ms: float = 5.0,
         max_image_bytes: int = 1 << 22,
+        aot_cache: Optional[str] = None,
+        conf_json: Optional[str] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -90,6 +92,14 @@ class DetectionService:
             )
 
         self._fwd = jax.jit(fwd)
+        self._fwd_fn = fwd
+        # AOT executable cache (detax/serve/aot.py): warmup() fills
+        # _compiled[bucket] with per-bucket compiled executables, loading
+        # serialized ones from aot_cache when present — a warm restart
+        # skips the multi-minute XLA compile entirely
+        self.aot_cache = aot_cache
+        self._conf_json = conf_json or repr(preprocess_conf)
+        self._compiled: dict[int, object] = {}
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
         # result fan-out pool: device→host transfer + per-request JSON encode
@@ -130,18 +140,31 @@ class DetectionService:
 
     # -- runner ----------------------------------------------------------------
     def warmup(self) -> None:
-        """Compile every bucket's serving program before taking traffic."""
+        """Ready every bucket's serving program before taking traffic:
+        deserialize from the AOT cache when possible, else compile (and
+        serialize for the next start)."""
+        import time
+
         import numpy as np
         import jax.numpy as jnp
+
+        from detax.serve import aot
 
         size = self.pconf.image_size
         b = 1
         while b <= self.max_batch:
+            t0 = time.time()
             u8 = jnp.zeros((b, size, size, 3), jnp.uint8)
             sizes = jnp.full((b, 2), float(size), jnp.float32)
             scales = jnp.ones((b,), jnp.float32)
-            packed = self._fwd(self.params, u8, sizes, scales)
+            exe, how = aot.compile_or_load(
+                self.aot_cache, self._conf_json, self._fwd_fn,
+                self.params, u8, sizes, scales,
+            )
+            self._compiled[b] = exe
+            packed = exe(self.params, u8, sizes, scales)
             np.asarray(packed[:1, :1])  # real sync on remote backends
+            print(f"serve warmup: bucket {b} ready in {time.time() - t0:.1f}s ({how})", flush=True)
             b *= 2
 
     def start(self, warmup: bool = True) -> None:
@@ -212,7 +235,8 @@ class DetectionService:
                 sizes[i] = (nh, nw)
                 scales[i] = scale
 
-            packed = self._fwd(
+            fwd = self._compiled.get(nb, self._fwd)
+            packed = fwd(
                 self.params, jnp.asarray(pixels), jnp.asarray(sizes), jnp.asarray(scales)
             )
             # async dispatch done — hand transfer+encode to the pool and go
