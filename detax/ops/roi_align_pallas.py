@@ -73,6 +73,35 @@ _ROWS = 56  # padded kron rows: 8 (padded ph) x 7 (pw)
 _WIN_YP = WIN_Y // 2  # packed window rows (y pairs in lanes), c<=64 path
 
 
+def _expand_rows(p: int, wy_vals, wx_val, precision):
+    """In-kernel kron-row expansion from COMPACT per-axis weights.
+
+    The wrapper ships wy as (p·8, Wy) and wx as (p·7, Wx) — the 56-row
+    expansions (row j of box b: wy[b·8 + j//7], wx[b·7 + j%7]) are built
+    HERE with one-hot selector matmuls (exact row copies in any dtype, so
+    numerics are identical to shipping pre-expanded rows).  Shipping
+    compact rows cuts the per-box weight DMA 3.7× and — the real win —
+    deletes the XLA-side repeat/tile materialisation + relayout copies of
+    ~600 MB of expanded weights per b128 batch (~10 ms measured in the
+    round-3 HLO audit).
+    """
+    ry = jax.lax.broadcasted_iota(jnp.int32, (p * _ROWS, p * 8), 0)
+    cy = jax.lax.broadcasted_iota(jnp.int32, (p * _ROWS, p * 8), 1)
+    sy = (cy == (ry // _ROWS) * 8 + (ry % _ROWS) // _PH).astype(wy_vals[0].dtype)
+    rx = jax.lax.broadcasted_iota(jnp.int32, (p * _ROWS, p * _PH), 0)
+    cx = jax.lax.broadcasted_iota(jnp.int32, (p * _ROWS, p * _PH), 1)
+    sx = (cx == (rx // _ROWS) * _PH + (rx % _ROWS) % _PH).astype(wx_val.dtype)
+    wy56 = [
+        jnp.dot(sy, w, preferred_element_type=jnp.float32, precision=precision
+                ).astype(w.dtype)
+        for w in wy_vals
+    ]
+    wx56 = jnp.dot(
+        sx, wx_val, preferred_element_type=jnp.float32, precision=precision
+    ).astype(wx_val.dtype)
+    return wy56, wx56
+
+
 def _kernel_factory(num_levels: int, c: int, c_out: int, p: int, out_dtype):
     def kernel(ints_ref, wy_ref, wx_ref, t_ref, *refs):
         # refs: num_levels feature refs (ANY/HBM), out_ref,
@@ -138,11 +167,14 @@ def _kernel_factory(num_levels: int, c: int, c_out: int, p: int, out_dtype):
         # (a1, a2 fp32 accumulator, m) together blow the 16 MB scoped limit.
         # a1[i, j] = wx[i, j % WIN_X] (pltpu.repeat has TILE semantics on the
         # lane axis); a2[i, j] = wy[i, j // WIN_X] via the 0/1 block-selector.
+        (wy56,), wx56 = _expand_rows(
+            p, [wy_ref[:].astype(mm_dtype)], wx_ref[:].astype(mm_dtype), precision
+        )
         chunk = max(1, p // 4) * _ROWS
         for q in range(0, p * _ROWS, chunk):
-            a1 = pltpu.repeat(wx_ref[q:q + chunk, :].astype(mm_dtype), WIN_Y, axis=1)
+            a1 = pltpu.repeat(wx56[q:q + chunk, :], WIN_Y, axis=1)
             a2 = jnp.dot(
-                wy_ref[q:q + chunk, :].astype(mm_dtype),
+                wy56[q:q + chunk, :],
                 t_ref[:].astype(mm_dtype),
                 preferred_element_type=jnp.float32,  # MXU acc must be 32-bit
                 precision=precision,
@@ -223,12 +255,18 @@ def _kernel_factory_packed(num_levels: int, c_out: int, p: int, out_dtype):
         )
         mm_dtype = jnp.float32 if jnp.dtype(out_dtype) == jnp.float32 else out_dtype
 
+        (wye56, wyo56), wx56 = _expand_rows(
+            p,
+            [wye_ref[:].astype(mm_dtype), wyo_ref[:].astype(mm_dtype)],
+            wx_ref[:].astype(mm_dtype),
+            precision,
+        )
         chunk = max(1, p // 4) * _ROWS
         for q in range(0, p * _ROWS, chunk):
-            a1 = pltpu.repeat(wx_ref[q:q + chunk, :].astype(mm_dtype), _WIN_YP, axis=1)
-            for wref, scr in ((wye_ref, me_scr), (wyo_ref, mo_scr)):
+            a1 = pltpu.repeat(wx56[q:q + chunk, :], _WIN_YP, axis=1)
+            for wexp, scr in ((wye56, me_scr), (wyo56, mo_scr)):
                 a2 = jnp.dot(
-                    wref[q:q + chunk, :].astype(mm_dtype),
+                    wexp[q:q + chunk, :],
                     t_ref[:].astype(mm_dtype),
                     preferred_element_type=jnp.float32,
                     precision=precision,
@@ -289,11 +327,14 @@ def _kernel_factory_resident(
         )
         mm_dtype = jnp.float32 if jnp.dtype(out_dtype) == jnp.float32 else out_dtype
 
+        (wy56,), wx56 = _expand_rows(
+            p, [wy_ref[:].astype(mm_dtype)], wx_ref[:].astype(mm_dtype), precision
+        )
         chunk = max(1, p // 4) * _ROWS
         for q in range(0, p * _ROWS, chunk):
-            a1 = pltpu.repeat(wx_ref[q:q + chunk, :].astype(mm_dtype), WIN_Y, axis=1)
+            a1 = pltpu.repeat(wx56[q:q + chunk, :], WIN_Y, axis=1)
             a2 = jnp.dot(
-                wy_ref[q:q + chunk, :].astype(mm_dtype),
+                wy56[q:q + chunk, :],
                 t_ref[:].astype(mm_dtype),
                 preferred_element_type=jnp.float32,
                 precision=precision,
@@ -496,8 +537,10 @@ def multiscale_roi_align_pallas(
     wy = _axis_weights(y1, bin_h, y0, h_true, ph, r, WIN_Y)  # (N, 7, WIN_Y)
     wx = _axis_weights(x1, bin_w, x0, w_true, pw, r, WIN_X)  # (N, 7, WIN_X)
     wy8 = jnp.pad(wy, ((0, 0), (0, 1), (0, 0)))  # pad py to 8
-    wy56 = jnp.repeat(wy8, _PH, axis=1)  # (N, 56, WIN_Y): row i = wy8[i//7]
-    wx56 = jnp.tile(wx, (1, 8, 1))  # (N, 56, WIN_X): row i = wx[i%7]
+    # weights ship COMPACT (8 + 7 rows per box); the 56-row kron expansion
+    # happens in-kernel (_expand_rows) — the old XLA-side repeat/tile built
+    # ~600 MB of expanded f32 rows per b128 batch (~10 ms of broadcast/
+    # reshape/relayout in the HLO profile)
 
     lvl32 = lvl_idx.astype(jnp.int32)
     seg_key = bidx * num_levels + lvl32  # resident-map segment id
@@ -509,8 +552,8 @@ def multiscale_roi_align_pallas(
     n_pad = ((n + p - 1) // p) * p
     if n_pad != n:
         ints = jnp.pad(ints, ((0, n_pad - n), (0, 0)))
-        wy56 = jnp.pad(wy56, ((0, n_pad - n), (0, 0), (0, 0)))
-        wx56 = jnp.pad(wx56, ((0, n_pad - n), (0, 0), (0, 0)))
+        wy8 = jnp.pad(wy8, ((0, n_pad - n), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, n_pad - n), (0, 0), (0, 0)))
     grid = n_pad // p
 
     # constant lane block-selector T[y, j] = (j // WIN_X == y)
@@ -528,9 +571,9 @@ def multiscale_roi_align_pallas(
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec((p, 5), lambda i: (i, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((p * _ROWS, _WIN_YP), lambda i: (i, 0)),  # wy even
-                pl.BlockSpec((p * _ROWS, _WIN_YP), lambda i: (i, 0)),  # wy odd
-                pl.BlockSpec((p * _ROWS, WIN_X), lambda i: (i, 0)),
+                pl.BlockSpec((p * 8, _WIN_YP), lambda i: (i, 0)),  # wy even (compact)
+                pl.BlockSpec((p * 8, _WIN_YP), lambda i: (i, 0)),  # wy odd (compact)
+                pl.BlockSpec((p * _PH, WIN_X), lambda i: (i, 0)),  # wx (compact)
                 pl.BlockSpec((_WIN_YP, _WIN_YP * WIN_X), lambda i: (0, 0)),
             ]
             + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
@@ -545,9 +588,9 @@ def multiscale_roi_align_pallas(
             interpret=interpret,
         )(
             ints,
-            wy56[..., 0::2].reshape(n_pad * _ROWS, _WIN_YP),
-            wy56[..., 1::2].reshape(n_pad * _ROWS, _WIN_YP),
-            wx56.reshape(n_pad * _ROWS, WIN_X),
+            wy8[..., 0::2].reshape(n_pad * 8, _WIN_YP),
+            wy8[..., 1::2].reshape(n_pad * 8, _WIN_YP),
+            wx.reshape(n_pad * _PH, WIN_X),
             t_sel,
             *feats,
         )
@@ -578,8 +621,8 @@ def multiscale_roi_align_pallas(
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((p, 5), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((p * _ROWS, WIN_Y), lambda i: (i, 0)),
-            pl.BlockSpec((p * _ROWS, WIN_X), lambda i: (i, 0)),
+            pl.BlockSpec((p * 8, WIN_Y), lambda i: (i, 0)),  # wy (compact)
+            pl.BlockSpec((p * _PH, WIN_X), lambda i: (i, 0)),  # wx (compact)
             pl.BlockSpec((WIN_Y, WIN_Y * WIN_X), lambda i: (0, 0)),
         ]
         + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
@@ -587,7 +630,7 @@ def multiscale_roi_align_pallas(
         out_shape=jax.ShapeDtypeStruct((n_pad * _ROWS, c), dtype),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(ints, wy56.reshape(n_pad * _ROWS, WIN_Y), wx56.reshape(n_pad * _ROWS, WIN_X), t_sel, *feats)
+    )(ints, wy8.reshape(n_pad * 8, WIN_Y), wx.reshape(n_pad * _PH, WIN_X), t_sel, *feats)
     out = out.reshape(n_pad, 8, _PH, c)[:n, :_PH]  # drop the py pad row
     if use_resident:
         out = jnp.take(out, inv, axis=0)  # undo the segment sort
