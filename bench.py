@@ -77,7 +77,9 @@ def _build(which: str):
         roi=base.roi.replace(
             nms_impl="pallas",
             topk_impl="approx",
-            box_pooler=base.roi.box_pooler.replace(sampling_ratio=2, impl="pallas"),
+            box_pooler=base.roi.box_pooler.replace(
+                sampling_ratio=2, impl="pallas", keep_ph_pad=True
+            ),
         ),
     )
     return FasterRCNN(conf=conf, dtype=jnp.bfloat16), "Faster R-CNN R18-FPN"

@@ -51,7 +51,9 @@ def _build_model(
             roi=conf.roi.replace(
                 nms_impl="pallas",
                 topk_impl="approx",
-                box_pooler=conf.roi.box_pooler.replace(sampling_ratio=2, impl="pallas"),
+                box_pooler=conf.roi.box_pooler.replace(
+                    sampling_ratio=2, impl="pallas", keep_ph_pad=True
+                ),
             ),
         )
     return FasterRCNN(conf=conf, dtype=jnp.bfloat16), conf

@@ -37,6 +37,12 @@ class ROIPoolerConf(BaseConf):
     sampling_ratio: int = 2
     # "xla" gather path | "pallas" window-DMA kernel (TPU hot path)
     impl: str = "xla"
+    # pallas-only serving option: emit the kernel's native (8, pw) pooled rows
+    # (row 7 exactly zero) instead of slicing to (7, pw) — saves the XLA
+    # reshape/slice/relayout chain on the kernel output. Requires a box head
+    # with num_conv == 0 and fc0 params padded via
+    # detax.models.roi_heads.pad_box_head_params_for_ph_pad.
+    keep_ph_pad: bool = False
 
 
 @register_conf

@@ -88,6 +88,49 @@ class StandardROIHeads(nn.Module):
         return self.keypoint_head(pooled, train=train)
 
 
+def pad_box_head_params_for_ph_pad(
+    params, conf: "ROIConf", channels: int = 64
+):
+    """Pad the box head's fc0 kernel for the pooler's ``keep_ph_pad`` layout.
+
+    With ``keep_ph_pad`` the Pallas pooler returns ``(B, R, 8, pw, C)``
+    where row 7 is exactly zero; the flattened feature width grows from
+    ``ph*pw*C`` to ``8*pw*C``. Zero activations make the extra kernel rows
+    inert, so padding fc0's kernel with zeros reproduces the exact sliced
+    result while XLA skips the kernel-output reshape/slice/relayout chain.
+
+    Transforms a checkpoint trained on the standard ``(7, pw)`` layout; a
+    model *initialised* under ``keep_ph_pad`` already has the wide kernel.
+    Requires ``num_conv == 0`` (a conv over the pad row would see a zero
+    row inside its receptive field and change edge outputs).
+    """
+    h = conf.box_head
+    assert h.num_conv == 0, "keep_ph_pad requires a pure-FC box head"
+    ph, pw = conf.box_pooler.output_size
+    narrow = ph * pw * channels
+    wide = 8 * pw * channels
+
+    def walk(tree, in_box_head=False):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            if in_box_head and k == "fc0" and isinstance(v, dict):
+                kern = v.get("kernel")
+                if kern is not None and kern.shape[0] == narrow:
+                    kern = jnp.pad(
+                        kern.reshape(ph, pw * channels, -1),
+                        ((0, 8 - ph), (0, 0), (0, 0)),
+                    ).reshape(wide, -1)
+                    v = {**v, "kernel": kern}
+                out[k] = v
+            else:
+                out[k] = walk(v, in_box_head or k == "box_head")
+        return out
+
+    return walk(params)
+
+
 def pool_features(
     conf: ROIConf,
     features: Dict[str, Array],
@@ -110,6 +153,7 @@ def pool_features(
             sampling_ratio=p.sampling_ratio,
             canonical_box_size=p.canonical_box_size,
             canonical_level=p.canonical_level,
+            keep_ph_pad=p.keep_ph_pad,
         )
     if p.impl == "window" and p.type == "ROIAlignV2":
         from detax.ops.roi_align import multiscale_roi_align_window

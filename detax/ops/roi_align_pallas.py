@@ -417,12 +417,22 @@ def multiscale_roi_align_pallas(
     canonical_box_size: int = 224,
     canonical_level: int = 4,
     interpret: bool | None = None,
+    keep_ph_pad: bool = False,
 ) -> Array:
     """Drop-in for :func:`detax.ops.roi_align.multiscale_roi_align`
     (aligned=True path) backed by the window-DMA kernel.
 
     features: per-level ``(B, Hl, Wl, C)``; boxes ``(B, R, 4)`` →
     ``(B, R, ph, pw, C)``.
+
+    keep_ph_pad: return ``(B, R, 8, pw, C)`` with the zero pad row kept.
+    The kernel emits 8 pooled rows per box (row 7 is exactly zero — its
+    y-weights are the wy8 zero-pad row); slicing it off costs XLA a
+    reshape + slice + relayout chain (~4.7 ms at b128 serving shapes,
+    round-3 HLO audit). A flatten-consuming box head can instead keep the
+    row and pad its fc0 kernel with 448 dead rows (zero activations make
+    their values irrelevant) — see
+    :func:`detax.models.roi_heads.pad_box_head_params_for_ph_pad`.
     """
     from detax.ops.roi_align import assign_boxes_to_levels
 
@@ -594,6 +604,8 @@ def multiscale_roi_align_pallas(
             t_sel,
             *feats,
         )
+        if keep_ph_pad:
+            return out.reshape(n_pad, 8, _PH, c)[:n].reshape(b, r_boxes, 8, pw, c)
         out = out.reshape(n_pad, 8, _PH, c)[:n, :_PH]  # drop the py pad row
         return out.reshape(b, r_boxes, ph, pw, c)
 
@@ -631,6 +643,11 @@ def multiscale_roi_align_pallas(
         scratch_shapes=scratch,
         interpret=interpret,
     )(ints, wy8.reshape(n_pad * 8, WIN_Y), wx.reshape(n_pad * _PH, WIN_X), t_sel, *feats)
+    if keep_ph_pad:
+        out = out.reshape(n_pad, 8, _PH, c)[:n]
+        if use_resident:
+            out = jnp.take(out, inv, axis=0)  # undo the segment sort
+        return out.reshape(b, r_boxes, 8, pw, c)
     out = out.reshape(n_pad, 8, _PH, c)[:n, :_PH]  # drop the py pad row
     if use_resident:
         out = jnp.take(out, inv, axis=0)  # undo the segment sort

@@ -126,3 +126,39 @@ def test_span_bump_extreme_aspect_goes_coarser(rng):
     b = int(np.asarray(assign_boxes_to_levels(boxes, 2, 5, 224, 4, max_side_cells=28))[0, 0])
     assert a == 2 and b > a
     assert 300 / (2 ** b) <= 28
+
+
+def test_keep_ph_pad_rows(rng):
+    # keep_ph_pad returns the kernel's native 8 pooled rows: rows 0..6 match
+    # the sliced output exactly, row 7 is exactly zero (its y-weights are the
+    # wy8 zero-pad row)
+    feats, boxes, strides = _setup(rng, b=1, n=6)
+    sliced = np.asarray(multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 2))
+    padded = np.asarray(
+        multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 2, keep_ph_pad=True)
+    )
+    assert padded.shape == sliced.shape[:2] + (8,) + sliced.shape[3:]
+    np.testing.assert_array_equal(padded[:, :, :7], sliced)
+    np.testing.assert_array_equal(padded[:, :, 7], 0.0)
+
+
+def test_pad_box_head_params_equivalence(rng):
+    # a box head applied to (8, 7, C) ph-padded pooled features with
+    # pad_box_head_params_for_ph_pad-transformed params reproduces the
+    # standard (7, 7, C) result exactly
+    import jax
+
+    from detax.configs import FasterRCNNConf
+    from detax.models.roi_heads import StandardROIHeads, pad_box_head_params_for_ph_pad
+
+    conf = FasterRCNNConf().roi
+    head = StandardROIHeads(conf=conf)
+    pooled = jnp.asarray(rng.randn(3, 7, 7, 64), np.float32)
+    params = head.init(jax.random.PRNGKey(0), pooled)
+    scores, deltas = head.apply(params, pooled)
+
+    pooled8 = jnp.pad(pooled, ((0, 0), (0, 1), (0, 0), (0, 0)))
+    wide = pad_box_head_params_for_ph_pad(params, conf)
+    scores8, deltas8 = head.apply(wide, pooled8)
+    np.testing.assert_allclose(np.asarray(scores8), np.asarray(scores), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(deltas8), np.asarray(deltas), rtol=1e-6, atol=1e-6)
