@@ -68,6 +68,7 @@ WIN_X = 40  # cols: 28-cell span + margin + ≤7 cells of 8-alignment drift
 X_ALIGN = 8
 BOXES_PER_PROGRAM = 24  # ring == p: every window resident in VMEM at once
 RESIDENT_VMEM_BUDGET = 12 * 1024 * 1024  # v4 map-resident path eligibility
+_FORCE_PACKED_RESIDENT = False  # v5 experiment gate (measured slower, see below)
 _PH = 7  # kernel is specialised for 7x7 output (the reference contract)
 _ROWS = 56  # padded kron rows: 8 (padded ph) x 7 (pw)
 _WIN_YP = WIN_Y // 2  # packed window rows (y pairs in lanes), c<=64 path
@@ -261,19 +262,30 @@ def _kernel_factory_packed(num_levels: int, c_out: int, p: int, out_dtype):
             wx_ref[:].astype(mm_dtype),
             precision,
         )
-        chunk = max(1, p // 4) * _ROWS
-        for q in range(0, p * _ROWS, chunk):
-            a1 = pltpu.repeat(wx56[q:q + chunk, :], _WIN_YP, axis=1)
+
+        # SOFTWARE PIPELINE: build box j+1's m matrices between box j's two
+        # MXU matmuls. The phase-separated layout (all m-builds, then all
+        # matmuls) left the VPU idle through the matmul loop and the MXU
+        # idle through the m-build — measured 30.9 ms with m-build ~11 ms
+        # and matmuls ~11 ms nearly back-to-back (round-3 probe). The
+        # per-box chunks are independent (disjoint scratch rows), so Mosaic
+        # can dual-issue VPU work of iteration j+1 against MXU work of j.
+        def build_m(j):
+            q = j * _ROWS
+            a1 = pltpu.repeat(wx56[q:q + _ROWS, :], _WIN_YP, axis=1)
             for wexp, scr in ((wye56, me_scr), (wyo56, mo_scr)):
                 a2 = jnp.dot(
-                    wexp[q:q + chunk, :],
+                    wexp[q:q + _ROWS, :],
                     t_ref[:].astype(mm_dtype),
                     preferred_element_type=jnp.float32,
                     precision=precision,
                 )
-                scr[q:q + chunk, :] = a1 * a2.astype(mm_dtype)
+                scr[q:q + _ROWS, :] = a1 * a2.astype(mm_dtype)
 
+        build_m(0)
         for j in range(p):
+            if j + 1 < p:
+                build_m(j + 1)
             wait_dma(j)
             win = window[j].reshape(_WIN_YP * WIN_X, 128)
             oe = jnp.dot(
@@ -288,6 +300,101 @@ def _kernel_factory_packed(num_levels: int, c_out: int, p: int, out_dtype):
             out_ref[pl.ds(j * _ROWS, _ROWS), :] = o[:, :c_out].astype(out_dtype)
 
     return kernel
+
+
+def _kernel_factory_packed_resident(
+    num_levels: int,
+    c_out: int,
+    p: int,
+    out_dtype,
+    map_shapes,  # per level (Hl_pad // 2, Wl_pad) of the PACKED feature refs
+):
+    """v5: y-pair-packed windows sliced from a VMEM-resident map.
+
+    Combines the two earlier levers: the packed lane layout (row pairs in
+    the 128 lanes — full-width MXU operands at c=64) and map residency
+    (boxes sorted by (image, level); each packed map is DMA'd ONCE per
+    segment instead of a 163 KB window DMA per box). At b128 serving
+    shapes the per-box window DMAs total ~6.3 GB vs ~0.6 GB of segment
+    map reads — the v3 probe measured the window DMAs as ~99% of kernel
+    time, so residency attacks the dominant term while the packed matmul
+    keeps the MXU operands full-width."""
+    max_h = max(h for h, _ in map_shapes)
+    max_w = max(w for _, w in map_shapes)
+
+    def kernel(ints_ref, wye_ref, wyo_ref, wx_ref, t_ref, *refs):
+        feat_refs = refs[:num_levels]
+        out_ref = refs[num_levels]
+        map_scr = refs[num_levels + 1]  # (max_h, max_w, 128) packed rows
+        me_scr = refs[num_levels + 2]
+        mo_scr = refs[num_levels + 3]
+        resident = refs[num_levels + 4]  # SMEM (1,): resident segment key
+        sem = refs[num_levels + 5]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            resident[0] = -1
+
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if jnp.dtype(out_dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        mm_dtype = jnp.float32 if jnp.dtype(out_dtype) == jnp.float32 else out_dtype
+
+        (wye56, wyo56), wx56 = _expand_rows(
+            p,
+            [wye_ref[:].astype(mm_dtype), wyo_ref[:].astype(mm_dtype)],
+            wx_ref[:].astype(mm_dtype),
+            precision,
+        )
+        chunk = max(1, p // 4) * _ROWS
+        for q in range(0, p * _ROWS, chunk):
+            a1 = pltpu.repeat(wx56[q:q + chunk, :], _WIN_YP, axis=1)
+            for wexp, scr in ((wye56, me_scr), (wyo56, mo_scr)):
+                a2 = jnp.dot(
+                    wexp[q:q + chunk, :],
+                    t_ref[:].astype(mm_dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+                scr[q:q + chunk, :] = a1 * a2.astype(mm_dtype)
+
+        for j in range(p):
+            bidx = ints_ref[j, 0]
+            y0p = ints_ref[j, 1]  # packed-row origin (= y0 / 2)
+            x0 = pl.multiple_of((ints_ref[j, 2] // X_ALIGN) * X_ALIGN, X_ALIGN)
+            level = ints_ref[j, 3]
+            key = ints_ref[j, 4]
+
+            # segment transition: blocking whole-map DMA (rare — once per
+            # (image, level) across the whole sorted grid)
+            for l, (hl, wl) in enumerate(map_shapes):
+                @pl.when((key != resident[0]) & (level == l))
+                def _():
+                    cp = pltpu.make_async_copy(
+                        feat_refs[l].at[bidx],
+                        map_scr.at[pl.ds(0, hl), pl.ds(0, wl), :],
+                        sem,
+                    )
+                    cp.start()
+                    cp.wait()
+            resident[0] = key
+
+            win = map_scr[pl.ds(y0p, _WIN_YP), pl.ds(x0, WIN_X), :]
+            win = win.reshape(_WIN_YP * WIN_X, 128)
+            oe = jnp.dot(
+                me_scr[j * _ROWS:(j + 1) * _ROWS, :].astype(win.dtype), win,
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # (56, 128) fp32: parity-0 half valid
+            oo = jnp.dot(
+                mo_scr[j * _ROWS:(j + 1) * _ROWS, :].astype(win.dtype), win,
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # parity-1 half valid
+            o = oe + pltpu.roll(oo, 64, axis=1)  # fp32 roll (bf16 roll unsupported)
+            out_ref[pl.ds(j * _ROWS, _ROWS), :] = o[:, :c_out].astype(out_dtype)
+
+    return kernel, (max_h, max_w)
 
 
 def _kernel_factory_resident(
@@ -514,8 +621,20 @@ def multiscale_roi_align_pallas(
     # of gather traffic at b128 serving shapes (measured slower than v3).
     esize = jnp.dtype(dtype).itemsize
     max_map_bytes = max(f.shape[1] * f.shape[2] for f in feats) * c_pad * esize
-    m_bytes = p * _ROWS * WIN_Y * WIN_X * (4 if is_f32 else esize)
+    m_esize = 4 if is_f32 else esize
+    m_bytes = p * _ROWS * WIN_Y * WIN_X * m_esize
+    m_bytes_packed = p * _ROWS * _WIN_YP * WIN_X * m_esize  # ×2 scratches
+    # Packed-resident (v5) measured SLOWER than packed window DMAs at b128
+    # serving shapes (33.9 vs 30.9 ms standalone): the blocking per-segment
+    # map DMA + dynamic-offset VMEM window slicing serialize against the
+    # matmuls, losing more than the HBM bytes save. Kept for c>64 where the
+    # v3 probe showed window DMAs at ~99% of kernel time; packed stays on
+    # the all-windows-up-front ring. Enable via _FORCE_PACKED_RESIDENT to
+    # re-measure.
     use_resident = (
+        use_packed and _FORCE_PACKED_RESIDENT
+        and (max_map_bytes + 2 * m_bytes_packed) <= RESIDENT_VMEM_BUDGET
+    ) or (
         not use_packed and (max_map_bytes + m_bytes) <= RESIDENT_VMEM_BUDGET
     )
     if use_resident:
@@ -574,8 +693,26 @@ def multiscale_roi_align_pallas(
     )
 
     if use_packed:
-        kernel = _kernel_factory_packed(num_levels, c, p, dtype)
         m_dt = jnp.float32 if is_f32 else dtype
+        if use_resident:
+            kernel, (max_h, max_w) = _kernel_factory_packed_resident(
+                num_levels, c, p, dtype, [(f.shape[1], f.shape[2]) for f in feats]
+            )
+            scratch = [
+                pltpu.VMEM((max_h, max_w, 128), dtype),
+                pltpu.VMEM((p * _ROWS, _WIN_YP * WIN_X), m_dt),
+                pltpu.VMEM((p * _ROWS, _WIN_YP * WIN_X), m_dt),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ]
+        else:
+            kernel = _kernel_factory_packed(num_levels, c, p, dtype)
+            scratch = [
+                pltpu.VMEM((p, _WIN_YP, WIN_X, 128), dtype),
+                pltpu.VMEM((p * _ROWS, _WIN_YP * WIN_X), m_dt),
+                pltpu.VMEM((p * _ROWS, _WIN_YP * WIN_X), m_dt),
+                pltpu.SemaphoreType.DMA((p,)),
+            ]
         out = pl.pallas_call(
             kernel,
             grid=(grid,),
@@ -589,12 +726,7 @@ def multiscale_roi_align_pallas(
             + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
             out_specs=pl.BlockSpec((p * _ROWS, c), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((n_pad * _ROWS, c), dtype),
-            scratch_shapes=[
-                pltpu.VMEM((p, _WIN_YP, WIN_X, 128), dtype),
-                pltpu.VMEM((p * _ROWS, _WIN_YP * WIN_X), m_dt),
-                pltpu.VMEM((p * _ROWS, _WIN_YP * WIN_X), m_dt),
-                pltpu.SemaphoreType.DMA((p,)),
-            ],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(
             ints,
@@ -604,10 +736,11 @@ def multiscale_roi_align_pallas(
             t_sel,
             *feats,
         )
-        if keep_ph_pad:
-            return out.reshape(n_pad, 8, _PH, c)[:n].reshape(b, r_boxes, 8, pw, c)
-        out = out.reshape(n_pad, 8, _PH, c)[:n, :_PH]  # drop the py pad row
-        return out.reshape(b, r_boxes, ph, pw, c)
+        rows = 8 if keep_ph_pad else _PH
+        out = out.reshape(n_pad, 8, _PH, c)[:n, :rows]
+        if use_resident:
+            out = jnp.take(out, inv, axis=0)  # undo the segment sort
+        return out.reshape(b, r_boxes, rows, pw, c)
 
     if use_resident:
         kernel, (max_h, max_w) = _kernel_factory_resident(

@@ -162,3 +162,18 @@ def test_pad_box_head_params_equivalence(rng):
     scores8, deltas8 = head.apply(wide, pooled8)
     np.testing.assert_allclose(np.asarray(scores8), np.asarray(scores), rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(deltas8), np.asarray(deltas), rtol=1e-6, atol=1e-6)
+
+
+def test_packed_resident_variant(rng):
+    # the v5 packed-resident kernel is gated off by default (measured slower
+    # at b128 serving shapes) but must stay parity-exact
+    import detax.ops.roi_align_pallas as rap
+
+    feats, boxes, strides = _setup(rng, b=2, n=10)
+    want = np.asarray(multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 2))
+    rap._FORCE_PACKED_RESIDENT = True
+    try:
+        got = np.asarray(multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 2))
+    finally:
+        rap._FORCE_PACKED_RESIDENT = False
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
