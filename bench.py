@@ -73,6 +73,7 @@ def _build(which: str):
             post_nms_topk=(2000, 300),
             nms_impl="pallas",
             topk_impl="approx",
+            topk_recall=0.8,
         ),
         roi=base.roi.replace(
             nms_impl="pallas",

@@ -68,19 +68,18 @@ class FasterRCNN(nn.Module):
         rpn_feats = [feats[f] for f in rconf.in_features]
         logits, deltas = self.rpn(rpn_feats)
         strides = self._strides()
-        anchors = rpn_anchors(
-            rconf,
-            [f.shape[1:3] for f in rpn_feats],
-            [strides[f] for f in rconf.in_features],
-        )
-        return anchors, logits, deltas
+        shapes = [f.shape[1:3] for f in rpn_feats]
+        lvl_strides = [strides[f] for f in rconf.in_features]
+        anchors = rpn_anchors(rconf, shapes, lvl_strides)
+        return anchors, logits, deltas, shapes, lvl_strides
 
     def __call__(self, images: ImageBatch, train: bool = False) -> Detections:
         """Inference forward: batch of letterboxed images → final detections."""
         feats = self.backbone(images.pixels, train=train)
-        anchors, logits, deltas = self._rpn_forward(feats, train)
+        anchors, logits, deltas, shapes, lvl_strides = self._rpn_forward(feats, train)
         proposals = predict_proposals(
-            self.conf.rpn, anchors, logits, deltas, images.image_sizes, train=False
+            self.conf.rpn, anchors, logits, deltas, images.image_sizes, train=False,
+            feature_shapes=shapes, strides=lvl_strides,
         )
         pooled = pool_features(self.conf.roi, feats, self._strides(), proposals.boxes)
         scores, box_deltas = self.roi(pooled, train=False)
@@ -107,9 +106,10 @@ class FasterRCNN(nn.Module):
     def propose(self, images: ImageBatch) -> Detections:
         """RPN-only forward (the reference's deepest working path, §3.3)."""
         feats = self.backbone(images.pixels, train=False)
-        anchors, logits, deltas = self._rpn_forward(feats, False)
+        anchors, logits, deltas, shapes, lvl_strides = self._rpn_forward(feats, False)
         return predict_proposals(
-            self.conf.rpn, anchors, logits, deltas, images.image_sizes, train=False
+            self.conf.rpn, anchors, logits, deltas, images.image_sizes, train=False,
+            feature_shapes=shapes, strides=lvl_strides,
         )
 
     def train_forward(
@@ -126,7 +126,7 @@ class FasterRCNN(nn.Module):
         k_anchor, k_roi = jax.random.split(key)
 
         feats = self.backbone(images.pixels, train=True)
-        anchors, logits, deltas = self._rpn_forward(feats, True)
+        anchors, logits, deltas, shapes, lvl_strides = self._rpn_forward(feats, True)
 
         anchors_cat = jnp.concatenate(anchors, axis=0)
         logits_cat = jnp.concatenate(logits, axis=1)
@@ -146,6 +146,8 @@ class FasterRCNN(nn.Module):
             [jax.lax.stop_gradient(d) for d in deltas],
             images.image_sizes,
             train=True,
+            feature_shapes=shapes,
+            strides=lvl_strides,
         )
         boxes, classes, tboxes, is_fg, valid, gt_idx, roi_metrics = label_and_sample_proposals(
             k_roi, self.conf.roi, proposals, gt

@@ -80,6 +80,8 @@ def predict_proposals(
     deltas: List[Array],
     image_sizes: Array,
     train: bool,
+    feature_shapes: Optional[Sequence[Tuple[int, int]]] = None,
+    strides: Optional[Sequence[int]] = None,
 ) -> Detections:
     """Decode + select top proposals (reference ``predict_proposals`` →
     ``find_top_rpn_proposals``, ``rpn.py:294-348`` + ``models/utils.py:9-109``).
@@ -89,6 +91,10 @@ def predict_proposals(
       logits: per-level ``(B, Ri)`` objectness.
       deltas: per-level ``(B, Ri, 4)``.
       image_sizes: ``(B, 2)`` valid (h, w) per image for clipping.
+      feature_shapes/strides: per-level grid geometry; when given, selected
+        anchors are reconstructed arithmetically from the top-k indices
+        (:func:`detax.nn.anchors.anchors_from_indices` — bit-identical to the
+        gather, ~1.7 ms/level cheaper at serving shapes).
 
     Returns:
       ``Detections`` with capacity ``post_nms_topk`` per image, sorted by
@@ -96,6 +102,8 @@ def predict_proposals(
     """
     pre_k = conf.pre_nms_topk[0] if train else conf.pre_nms_topk[1]
     post_k = conf.post_nms_topk[0] if train else conf.post_nms_topk[1]
+    ag = conf.anchor_generator
+    num_levels = len(logits)
 
     top_boxes, top_scores, top_levels, top_valid = [], [], [], []
     for lvl, (anch, lg, dl) in enumerate(zip(anchors, logits, deltas)):
@@ -103,13 +111,26 @@ def predict_proposals(
         # top-k *before* decode: only k boxes ever get decoded; both top_k and
         # approx_max_k return score-descending order (needed by the Pallas NMS
         # path). approx_max_k is the TPU-native PartialReduce selection — see
-        # RegionProposalNetworkConf.topk_impl.
+        # RegionProposalNetworkConf.topk_impl; topk_recall trades per-row
+        # recall for PartialReduce output size (0.95 default = jax default).
         if conf.topk_impl == "approx" and k < lg.shape[-1]:
-            sc, idx = jax.lax.approx_max_k(lg, k)
+            sc, idx = jax.lax.approx_max_k(lg, k, recall_target=conf.topk_recall)
         else:
             sc, idx = jax.lax.top_k(lg, k)  # (B, k)
         sel_deltas = jnp.take_along_axis(dl, idx[..., None], axis=1)  # (B, k, 4)
-        sel_anchors = jnp.take(anch, idx, axis=0)  # (B, k, 4)
+        if feature_shapes is not None and strides is not None:
+            from detax.nn.anchors import _broadcast_per_level, anchors_from_indices
+
+            sel_anchors = anchors_from_indices(
+                idx,
+                feature_shapes[lvl],
+                strides[lvl],
+                _broadcast_per_level(ag.sizes, num_levels)[lvl],
+                _broadcast_per_level(ag.aspect_ratios, num_levels)[lvl],
+                ag.offset,
+            )
+        else:
+            sel_anchors = jnp.take(anch, idx, axis=0)  # (B, k, 4)
         bx = box_transform.apply_deltas(
             sel_deltas,
             sel_anchors,

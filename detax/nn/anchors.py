@@ -55,6 +55,40 @@ def num_cell_anchors(
     return [len(si) * len(ai) for si, ai in zip(s, a)]
 
 
+def anchors_from_indices(
+    idx: Array,
+    feature_shape: Tuple[int, int],
+    stride: int,
+    sizes: Sequence[float],
+    aspect_ratios: Sequence[float],
+    offset: float = 0.0,
+) -> Array:
+    """Reconstruct grid anchors arithmetically from flat indices.
+
+    Exactly equal to ``grid_anchors(...)[level][idx]`` (same float ops, same
+    ordering contract: row-major (y, x) then anchor-within-cell) but with no
+    HBM gather: a (B, k) row gather from a 76.8k-row constant costs ~1.7 ms
+    at serving shapes, while this is a handful of VPU ops on the index
+    array. Used by the RPN selection path after top-k.
+
+    Args:
+      idx: ``(..., k)`` int32 flat anchor indices within the level.
+    Returns:
+      ``(..., k, 4)`` float32 anchors.
+    """
+    h, w = feature_shape
+    base = cell_anchors(sizes, aspect_ratios)  # (A, 4) constant
+    a_count = base.shape[0]
+    a = idx % a_count
+    cell = idx // a_count
+    x = (cell % w).astype(jnp.float32)
+    y = (cell // w).astype(jnp.float32)
+    sx = (x + offset) * stride
+    sy = (y + offset) * stride
+    shifts = jnp.stack([sx, sy, sx, sy], axis=-1)  # (..., k, 4)
+    return shifts + jnp.take(base, a, axis=0)
+
+
 def grid_anchors(
     feature_shapes: Sequence[Tuple[int, int]],
     strides: Sequence[int],

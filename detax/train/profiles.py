@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 PROFILES = (
-    "exact", "approx_topk", "pallas_nms", "pallas_pool", "pallas_pool_r2",
+    "exact", "approx_topk", "recall08", "pallas_nms", "pallas_pool", "pallas_pool_r2",
     "serving", "serving_r2",
 )
 
@@ -44,6 +44,13 @@ def build_frcnn_conf(size: int, num_classes: int, profile: str, base=None):
             rpn=base.rpn.replace(topk_impl="approx"),
             roi=base.roi.replace(topk_impl="approx"),
         )
+    if profile == "recall08":
+        # approx top-k with recall_target 0.8 (the bench serving setting;
+        # ~5× cheaper PartialReduce on the 76.8k-anchor level)
+        return base.replace(
+            rpn=base.rpn.replace(topk_impl="approx", topk_recall=0.8),
+            roi=base.roi.replace(topk_impl="approx"),
+        )
     if profile == "pallas_nms":
         return base.replace(
             rpn=base.rpn.replace(nms_impl="pallas"),
@@ -61,7 +68,7 @@ def build_frcnn_conf(size: int, num_classes: int, profile: str, base=None):
         return base.replace(
             rpn=base.rpn.replace(
                 pre_nms_topk=(2000, 1000), post_nms_topk=(2000, 300),
-                nms_impl="pallas", topk_impl="approx",
+                nms_impl="pallas", topk_impl="approx", topk_recall=0.8,
             ),
             roi=base.roi.replace(
                 nms_impl="pallas", topk_impl="approx",

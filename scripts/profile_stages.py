@@ -50,7 +50,7 @@ def main(batch=128):
     conf = base.replace(
         rpn=base.rpn.replace(
             pre_nms_topk=(2000, 1000), post_nms_topk=(2000, 300),
-            nms_impl="pallas", topk_impl="approx",
+            nms_impl="pallas", topk_impl="approx", topk_recall=0.8,
         ),
         roi=base.roi.replace(
             nms_impl="pallas", topk_impl="approx",
@@ -99,8 +99,10 @@ def main(batch=128):
     def _proposals(px, sizes):
         feats, logits, deltas = _rpn_head(px)
         rpn_feats_shapes = [feats[f].shape[1:3] for f in in_feats]
-        anchors = rpn_anchors(conf.rpn, rpn_feats_shapes, [strides[f] for f in in_feats])
-        props = predict_proposals(conf.rpn, anchors, logits, deltas, sizes, train=False)
+        lvl_strides = [strides[f] for f in in_feats]
+        anchors = rpn_anchors(conf.rpn, rpn_feats_shapes, lvl_strides)
+        props = predict_proposals(conf.rpn, anchors, logits, deltas, sizes, train=False,
+                                  feature_shapes=rpn_feats_shapes, strides=lvl_strides)
         return feats, props
 
     @jax.jit
