@@ -129,8 +129,9 @@ class FasterRCNN(nn.Module):
         anchors, logits, deltas, shapes, lvl_strides = self._rpn_forward(feats, True)
 
         anchors_cat = jnp.concatenate(anchors, axis=0)
-        logits_cat = jnp.concatenate(logits, axis=1)
-        deltas_cat = jnp.concatenate(deltas, axis=1)
+        # losses in f32 (the head keeps its outputs in the compute dtype)
+        logits_cat = jnp.concatenate(logits, axis=1).astype(jnp.float32)
+        deltas_cat = jnp.concatenate(deltas, axis=1).astype(jnp.float32)
 
         gt_labels, matched_boxes = label_and_sample_anchors(
             k_anchor, self.conf.rpn, anchors_cat, gt, images.image_sizes

@@ -100,7 +100,7 @@ class RetinaNet(nn.Module):
                     sel, flat_idx = jax.lax.top_k(flat, k)
                 anchor_idx = flat_idx // nc
                 cls_idx = (flat_idx % nc).astype(jnp.int32)
-            sc = jax.nn.sigmoid(sel)
+            sc = jax.nn.sigmoid(sel.astype(jnp.float32))  # tiny (B, k) slice
             sel_deltas = jnp.take_along_axis(dl, anchor_idx[..., None], axis=1)
             sel_anchors = jnp.take(anch, anchor_idx, axis=0)
             bx = box_transform.apply_deltas(
@@ -131,8 +131,9 @@ class RetinaNet(nn.Module):
         m = c.anchor_matcher
         anchors, logits, deltas = self._forward_raw(images, True)
         anchors_cat = jnp.concatenate(anchors, axis=0)  # (R, 4)
-        logits_cat = jnp.concatenate(logits, axis=1)  # (B, R, C)
-        deltas_cat = jnp.concatenate(deltas, axis=1)  # (B, R, 4)
+        # losses in f32 (the head keeps its outputs in the compute dtype)
+        logits_cat = jnp.concatenate(logits, axis=1).astype(jnp.float32)  # (B, R, C)
+        deltas_cat = jnp.concatenate(deltas, axis=1).astype(jnp.float32)  # (B, R, 4)
 
         iou = box_ops.pairwise_iou(gt.boxes, anchors_cat[None])  # (B, G, R)
         matched_idx, labels = jax.vmap(

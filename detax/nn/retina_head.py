@@ -57,8 +57,13 @@ class RetinaNetHead(nn.Module):
             for conv in box_tower:
                 b = nn.relu(conv(b))
             n, h, w, _ = x.shape
-            lg = cls_pred(c).astype(jnp.float32).reshape(n, h * w * self.num_anchors, self.num_classes)
-            dl = box_pred(b).astype(jnp.float32).reshape(n, h * w * self.num_anchors, self.box_dim)
+            # compute-dtype outputs: the f32 widening of the (B, HWA, 80)
+            # logit maps cost ~1.2 GB of extra traffic at 640²/b64 and is
+            # value-lossless to defer (bf16→f32 exact; selection order and
+            # the post-gather f32 decode/sigmoid see identical numbers) —
+            # the loss path casts its flattened operands up instead
+            lg = cls_pred(c).reshape(n, h * w * self.num_anchors, self.num_classes)
+            dl = box_pred(b).reshape(n, h * w * self.num_anchors, self.box_dim)
             logits_out.append(lg)
             deltas_out.append(dl)
         return logits_out, deltas_out

@@ -45,8 +45,14 @@ class RPNHead(nn.Module):
             for conv in convs:
                 x = nn.relu(conv(x))
             n, h, w, _ = x.shape
-            lg = obj(x).astype(jnp.float32).reshape(n, h * w * self.num_anchors)
-            dl = deltas(x).astype(jnp.float32).reshape(n, h * w * self.num_anchors, self.box_dim)
+            # outputs stay in the compute dtype: widening to f32 HERE costs
+            # ~200 MB of f32 traffic at 640²/b128 (the p1 maps) and is
+            # value-lossless to defer — bf16→f32 is exact, so top-k ordering
+            # and the post-gather f32 decode see identical numbers; the
+            # training loss path casts its (already gathered/flattened)
+            # operands up instead (models/faster_rcnn.py train_forward)
+            lg = obj(x).reshape(n, h * w * self.num_anchors)
+            dl = deltas(x).reshape(n, h * w * self.num_anchors, self.box_dim)
             logits_out.append(lg)
             deltas_out.append(dl)
         return logits_out, deltas_out

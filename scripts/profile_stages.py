@@ -49,12 +49,12 @@ def main(batch=128):
     base = FasterRCNNConf(preprocess=PreprocessConf(image_size=SIZE))
     conf = base.replace(
         rpn=base.rpn.replace(
-            pre_nms_topk=(2000, 1000), post_nms_topk=(2000, 300),
+            pre_nms_topk=(2000, 512), post_nms_topk=(2000, 300),
             nms_impl="pallas", topk_impl="approx", topk_recall=0.8,
         ),
         roi=base.roi.replace(
-            nms_impl="pallas", topk_impl="approx",
-            box_pooler=base.roi.box_pooler.replace(sampling_ratio=1, impl="pallas"),
+            nms_impl="pallas", topk_impl="approx", pre_nms_candidates=512,
+            box_pooler=base.roi.box_pooler.replace(sampling_ratio=2, impl="pallas", keep_ph_pad=True),
         ),
     )
     model = FasterRCNN(conf=conf, dtype=jnp.bfloat16)
