@@ -51,8 +51,12 @@ def _build(which: str):
     from detax.models import FasterRCNN, RetinaNet, YOLO
 
     if which == "retinanet":
+        # two_stage = candidate-set-faithful selection (anchor-first was
+        # measured at -0.0156 mAP on a trained checkpoint, two_stage/approx
+        # at +0.000x — artifacts/dmap_retinanet_r3.json); 524 vs 537 img/s
         conf = RetinaNetConf(
-            preprocess=PreprocessConf(image_size=SIZE), nms_impl="pallas", topk_impl="anchor"
+            preprocess=PreprocessConf(image_size=SIZE),
+            nms_impl="pallas", topk_impl="two_stage", topk_recall=0.8,
         )
         return RetinaNet(conf=conf, dtype=jnp.bfloat16), "RetinaNet R50-FPN"
     if which == "yolo":
@@ -100,7 +104,10 @@ def main() -> None:
     model, name = _build(which)
 
     rng = np.random.RandomState(0)
-    pixels = jnp.asarray(rng.randn(BATCH, SIZE, SIZE, 3), jnp.float32)
+    # pixels in the model's compute dtype: production preprocessing emits
+    # bf16 (the stem casts to bf16 either way, so rounding is identical —
+    # this only removes the f32 read + convert copy at the model entry)
+    pixels = jnp.asarray(rng.randn(BATCH, SIZE, SIZE, 3), jnp.bfloat16)
     images = ImageBatch.from_pixels(pixels)
 
     init_images = ImageBatch.from_pixels(pixels[:1])

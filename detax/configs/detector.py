@@ -27,6 +27,10 @@ class PreprocessConf(BaseConf):
     pixel_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
     # GT instance bitmaps are stored at canvas/mask_stride resolution
     mask_stride: int = 4
+    # output pixel dtype: "" keeps f32; "bfloat16" emits the serving compute
+    # dtype (the stem casts to bf16 anyway — this only moves the rounding
+    # site and halves the pixel buffer the model reads)
+    out_dtype: str = ""
 
 
 @register_conf

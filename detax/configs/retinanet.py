@@ -67,3 +67,6 @@ class RetinaNetConf(BaseConf):
     # (per-anchor best class first, then approx top-k over anchors — another
     # 11× on the selection; deviation: ≤1 class candidate per anchor)
     topk_impl: str = "exact"
+    # per-row recall target for approx_max_k (read by "approx" and "anchor"
+    # selection); 0.95 = jax default. See RegionProposalNetworkConf.topk_recall.
+    topk_recall: float = 0.95

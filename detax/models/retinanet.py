@@ -84,10 +84,34 @@ class RetinaNet(nn.Module):
                 cls_all = jnp.argmax(lg, axis=-1).astype(jnp.int32)
                 k = min(c.topk_candidates, r)
                 if k < r:
-                    sel, anchor_idx = jax.lax.approx_max_k(best, k)
+                    sel, anchor_idx = jax.lax.approx_max_k(best, k, recall_target=c.topk_recall)
                 else:
                     sel, anchor_idx = jax.lax.top_k(best, k)
                 cls_idx = jnp.take_along_axis(cls_all, anchor_idx, axis=1)
+            elif c.topk_impl == "two_stage":
+                # candidate-set-faithful fast path: top-k ANCHORS by their
+                # per-anchor best class, then flat top-k over those anchors'
+                # full class rows. With exact stage selections this equals
+                # the flat top-k set: if (a, c) ranks in the flat top-k,
+                # fewer than k anchors have best-score above a's, so a
+                # survives stage 1 (proof in tests/test_models.py::
+                # test_retinanet_two_stage_matches_flat). approx stage ops
+                # only drop near-tail rows (recall_target, as elsewhere).
+                best = jnp.max(lg, axis=-1)  # (B, R)
+                k_a = min(c.topk_candidates, r)
+                if k_a < r:
+                    _, a_top = jax.lax.approx_max_k(best, k_a, recall_target=c.topk_recall)
+                else:
+                    _, a_top = jax.lax.top_k(best, k_a)
+                sub = jnp.take_along_axis(lg, a_top[..., None], axis=1)  # (B, kA, nc)
+                flat = sub.reshape(b, k_a * nc)
+                k = min(c.topk_candidates, k_a * nc)
+                if k < k_a * nc:
+                    sel, f_idx = jax.lax.approx_max_k(flat, k, recall_target=c.topk_recall)
+                else:
+                    sel, f_idx = jax.lax.top_k(flat, k)
+                anchor_idx = jnp.take_along_axis(a_top, f_idx // nc, axis=1)
+                cls_idx = (f_idx % nc).astype(jnp.int32)
             else:
                 # select on raw logits (sigmoid is monotonic → identical
                 # order, and the 1.55M-column sigmoid at stride 8 is
@@ -95,7 +119,7 @@ class RetinaNet(nn.Module):
                 flat = lg.reshape(b, r * nc)
                 k = min(c.topk_candidates, r * nc)
                 if c.topk_impl == "approx" and k < r * nc:
-                    sel, flat_idx = jax.lax.approx_max_k(flat, k)
+                    sel, flat_idx = jax.lax.approx_max_k(flat, k, recall_target=c.topk_recall)
                 else:
                     sel, flat_idx = jax.lax.top_k(flat, k)
                 anchor_idx = flat_idx // nc

@@ -43,6 +43,11 @@ def letterbox_batch(pixels: Array, conf: PreprocessConf) -> ImageBatch:
     mean = jnp.asarray(conf.pixel_mean, jnp.float32)
     std = jnp.asarray(conf.pixel_std, jnp.float32)
     x = (x - mean) / std
+    if conf.out_dtype:
+        # emit the model's compute dtype (e.g. bf16 serving): the stem casts
+        # anyway, so this only moves the rounding site and halves the pixels
+        # buffer the model reads
+        x = x.astype(conf.out_dtype)
     pad_h, pad_w = size - new_h, size - new_w
     if pad_h or pad_w:
         x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))

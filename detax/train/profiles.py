@@ -83,6 +83,104 @@ def build_frcnn_conf(size: int, num_classes: int, profile: str, base=None):
     raise ValueError(f"unknown profile {profile!r}")
 
 
+RETINA_PROFILES = ("exact", "approx", "two_stage", "anchor", "serving")
+
+
+def build_retinanet_conf(size: int, num_classes: int, profile: str, base=None):
+    """RetinaNet conf under a named inference profile. ``exact`` = flat
+    lax.top_k over anchors×classes + XLA NMS (the Detectron2-faithful
+    path); ``anchor`` is the documented ≤1-class-per-anchor deviation;
+    ``serving`` = the bench.py lever set (anchor-first + Pallas NMS)."""
+    from detax.configs import FPNConf, PreprocessConf, ResNetConf, RetinaNetConf
+
+    if base is None:
+        # R18 bottom-up keeps the dmap eval affordable; the selection
+        # semantics under test are backbone-independent
+        base = RetinaNetConf(
+            backbone=FPNConf(bottom_up=ResNetConf(), out_channels=64),
+            preprocess=PreprocessConf(image_size=size),
+        )
+    base = base.replace(num_classes=num_classes)
+    if profile == "exact":
+        return base
+    if profile == "approx":
+        return base.replace(topk_impl="approx")
+    if profile == "two_stage":
+        return base.replace(topk_impl="two_stage", topk_recall=0.8)
+    if profile == "anchor":
+        return base.replace(topk_impl="anchor")
+    if profile == "serving":
+        # the benched lever set: two-stage faithful selection + Pallas NMS
+        return base.replace(topk_impl="two_stage", topk_recall=0.8, nms_impl="pallas")
+    raise ValueError(f"unknown retinanet profile {profile!r}")
+
+
+def train_retinanet(
+    size: int,
+    num_classes: int,
+    steps: int,
+    batch: int,
+    seed: int = 0,
+    base_conf=None,
+    num_images: int = 256,
+    log_every: int = 50,
+):
+    """Train the exact-profile RetinaNet on synthetic COCO-style data."""
+    import time
+
+    from detax.models import RetinaNet
+    from detax.train.coco import SyntheticCOCO, make_batches, prefetch_batches
+    from detax.train.step import make_train_step
+    from detax.train.train_state import create_train_state
+
+    conf = build_retinanet_conf(size, num_classes, "exact", base=base_conf)
+    model = RetinaNet(conf=conf, dtype=jnp.bfloat16)
+    ds = SyntheticCOCO(num_images=num_images, image_size=size, num_classes=num_classes, seed=seed)
+    batches = prefetch_batches(
+        make_batches(ds, batch, conf.preprocess, max_gt_boxes=conf.max_gt_boxes)
+    )
+    images0, gt0 = next(batches)
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), images0)
+    state, tx = create_train_state(params, rng=jax.random.PRNGKey(seed))
+    step_fn = make_train_step(model, tx)
+    t0 = time.time()
+    for i in range(steps):
+        images, gt = (images0, gt0) if i == 0 else next(batches)
+        state, metrics = step_fn(state, images, gt)
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            loss = float(jax.device_get(metrics["total_loss"]))
+            print(f"  step {i}: loss={loss:.3f} ({time.time()-t0:.0f}s)", flush=True)
+    return jax.device_get(state.params), conf
+
+
+def eval_retina_profile(
+    params,
+    size: int,
+    num_classes: int,
+    profile: str,
+    eval_images: int,
+    batch: int,
+    seed: int = 1,
+    base_conf=None,
+):
+    """mAP of one RetinaNet checkpoint under one selection profile."""
+    from detax.evaluate import DetectionEvaluator
+    from detax.models import RetinaNet
+    from detax.train.coco import SyntheticCOCO, make_batches
+
+    conf = build_retinanet_conf(size, num_classes, profile, base=base_conf)
+    model = RetinaNet(conf=conf, dtype=jnp.bfloat16)
+    fwd = jax.jit(lambda p, im: model.apply(p, im))
+    ds = SyntheticCOCO(num_images=eval_images, image_size=size, num_classes=num_classes, seed=seed)
+    ev = DetectionEvaluator(num_classes)
+    for images, gt in make_batches(
+        ds, batch, conf.preprocess, max_gt_boxes=conf.max_gt_boxes, epochs=1, seed=seed
+    ):
+        dets = fwd(params, images)
+        ev.add_batch(jax.device_get(dets), jax.device_get(gt))
+    return ev.summarize()
+
+
 def train_flagship(
     size: int,
     num_classes: int,

@@ -170,6 +170,52 @@ def test_retinanet_forward(images):
         assert iou_matrix(b0, a0)[0, 0] > 0.99
 
 
+def test_retinanet_two_stage_matches_flat():
+    """two_stage selection with exact stage top-ks reproduces the flat
+    top-k candidate set: if (a, c) ranks in the flat top-k, fewer than k
+    anchors have a best-class score above anchor a's, so a survives the
+    anchor stage (detax/models/retinanet.py topk_impl='two_stage')."""
+    rng = np.random.RandomState(7)
+    b, r, nc, k = 3, 500, 11, 40
+    lg = rng.randn(b, r, nc).astype(np.float32)
+
+    # flat exact top-k candidate set
+    flat = lg.reshape(b, r * nc)
+    flat_idx = np.argsort(-flat, axis=1)[:, :k]
+
+    # two-stage with exact selections
+    best = lg.max(axis=-1)
+    a_top = np.argsort(-best, axis=1)[:, :k]
+    for i in range(b):
+        sub = lg[i, a_top[i]].reshape(-1)  # (k·nc,)
+        two_idx = np.argsort(-sub)[:k]
+        two_set = {(a_top[i][j // nc], j % nc) for j in two_idx}
+        flat_set = {(j // nc, j % nc) for j in flat_idx[i]}
+        assert two_set == flat_set
+
+
+def test_retinanet_two_stage_model_matches_exact(images):
+    """Model-level: on CPU approx_max_k lowers to an exact sort, so the
+    two_stage path must produce the same detections as the exact flat path."""
+    conf = RetinaNetConf(
+        backbone=FPNConf(bottom_up=ResNetConf(stage_blocks=(1, 1, 1, 1)), out_channels=64),
+        num_classes=7,
+        topk_candidates=32,
+        detections_per_image=8,
+        preprocess=PreprocessConf(image_size=IMG),
+    )
+    model = RetinaNet(conf=conf)
+    params = model.init(jax.random.PRNGKey(0), images)
+    dets = model.apply(params, images)
+    dets2 = RetinaNet(conf=conf.replace(topk_impl="two_stage")).apply(params, images)
+    np.testing.assert_array_equal(np.asarray(dets.valid), np.asarray(dets2.valid))
+    v = np.asarray(dets.valid)
+    np.testing.assert_allclose(
+        np.asarray(dets.boxes)[v], np.asarray(dets2.boxes)[v], rtol=0, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(dets.classes)[v], np.asarray(dets2.classes)[v])
+
+
 def test_yolo_forward(images):
     conf = YOLOConf(
         backbone=ResNetConf(stage_blocks=(1, 1, 1, 1)),
