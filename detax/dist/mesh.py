@@ -7,6 +7,12 @@ Scaling recipe (the CNN-detector analog of the scaling-book recipe):
 - **spatial axis** (``spatial``, optional): shards the image H dimension —
   the conv-backbone analog of sequence/context parallelism (SURVEY.md §5.7).
   XLA handles conv halo exchange for spatially-sharded convolutions.
+  CONSTRAINT: keep ≥1 row per spatial shard at the DEEPEST feature map
+  (image_size / 32 ≥ spatial), i.e. spatial ≤ 20 at 640². Probed on this
+  toolchain: when a sharded dim has fewer rows than shards, the conv
+  *backward* silently produces wrong weight grads (~40% off) while the
+  forward stays correct — see tests/test_dist.py::
+  test_spatial_sharding_train_step_grads.
 - Params are replicated (detection models are small; the bandwidth win is in
   activations). A ``model`` axis slot is reserved for channel sharding of
   very wide backbones.
