@@ -63,19 +63,21 @@ def _build(which: str):
         conf = YOLOConf(preprocess=PreprocessConf(image_size=SIZE), nms_impl="pallas")
         return YOLO(conf=conf, dtype=jnp.bfloat16), "YOLO R18 3-stride"
 
-    # flagship TPU serving profile = the measured-quality-neutral lever set
-    # ("serving_fast" in detax/train/profiles.py; ΔmAP vs the exact parity
-    # path: approx top-k 0.0000, recall-0.8 top-k 0.0000, Pallas NMS 0.0000,
-    # full serving_fast combo -0.0009 — scripts/eval_dmap.py, r3): Pallas
-    # NMS, Pallas window-DMA ROIAlign at sampling_ratio 2 (free in the
-    # kernel: bilinear weights are host-precomputed), 512/level pre-NMS,
-    # 512 final-NMS candidates, the original Faster R-CNN test-time 300
-    # proposals. Reference *defaults* stay on the exact parity path.
+    # flagship TPU serving profile = the measured-quality-bounded lever set
+    # ("serving_fast_p256" in detax/train/profiles.py; ΔmAP vs the exact
+    # parity oracle on a trained checkpoint — scripts/eval_dmap.py, r3:
+    # approx top-k / recall-0.8 / Pallas NMS each ≤0.001, serving_fast
+    # combo +0.0003, this profile with 256 post-NMS proposals -0.0016):
+    # Pallas NMS, Pallas window-DMA ROIAlign at sampling_ratio 2 (free in
+    # the kernel: bilinear weights are host-precomputed), 512/level
+    # pre-NMS, 512 final-NMS candidates, 256 proposals (vs the classic
+    # 300; the ROI stage scales with box count — +53 img/s measured).
+    # Reference *defaults* stay on the exact parity path.
     base = FasterRCNNConf(preprocess=PreprocessConf(image_size=SIZE))
     conf = base.replace(
         rpn=base.rpn.replace(
             pre_nms_topk=(2000, 512),
-            post_nms_topk=(2000, 300),
+            post_nms_topk=(2000, 256),
             nms_impl="pallas",
             topk_impl="approx",
             topk_recall=0.8,

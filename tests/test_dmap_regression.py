@@ -48,7 +48,7 @@ def test_serving_profile_within_map_budget():
     )
     exact = eval_profile(params, SIZE, CLASSES, "exact", 24, 4, base_conf=_tiny_base())
     serving = eval_profile(
-        params, SIZE, CLASSES, "serving_fast", 24, 4, base_conf=_tiny_base()
+        params, SIZE, CLASSES, "serving_fast_p256", 24, 4, base_conf=_tiny_base()
     )
     assert exact["mAP"] > 0.05, f"checkpoint too weak to gate on ({exact})"
     assert serving["mAP"] >= exact["mAP"] - BUDGET, (
