@@ -33,7 +33,7 @@ WARMUP = 3
 ITERS = 20
 # per-model batch: throughput keeps rising with batch; RetinaNet R50@640
 # activations cap it lower than the R18 flagship
-BATCHES = {"frcnn": 128, "retinanet": 64, "yolo": 128}
+BATCHES = {"frcnn": 128, "retinanet": 64, "yolo": 128, "mask": 64}
 BATCH = 128
 
 
@@ -62,6 +62,25 @@ def _build(which: str):
     if which == "yolo":
         conf = YOLOConf(preprocess=PreprocessConf(image_size=SIZE), nms_impl="pallas")
         return YOLO(conf=conf, dtype=jnp.bfloat16), "YOLO R18 3-stride"
+    if which == "mask":
+        # Mask R-CNN mode: the flagship serving profile + the 14x14 mask
+        # pooler and 4-conv mask head on the top-100 detections
+        base = FasterRCNNConf(preprocess=PreprocessConf(image_size=SIZE))
+        conf = base.replace(
+            rpn=base.rpn.replace(
+                pre_nms_topk=(2000, 512), post_nms_topk=(2000, 256),
+                nms_impl="pallas", topk_impl="approx", topk_recall=0.8,
+            ),
+            roi=base.roi.replace(
+                nms_impl="pallas", topk_impl="approx", pre_nms_candidates=512,
+                mask_on=True,
+                box_pooler=base.roi.box_pooler.replace(
+                    sampling_ratio=2, impl="pallas", keep_ph_pad=True
+                ),
+                mask_pooler=base.roi.mask_pooler.replace(impl="pallas"),
+            ),
+        )
+        return FasterRCNN(conf=conf, dtype=jnp.bfloat16), "Mask R-CNN R18-FPN"
 
     # flagship TPU serving profile = the measured-quality-bounded lever set
     # ("serving_fast_p256" in detax/train/profiles.py; ΔmAP vs the exact

@@ -369,6 +369,25 @@ def pool_mask_features(
     feats = [features[f] for f in conf.in_features]
     strides = [feature_strides[f] for f in conf.in_features]
     p = conf.mask_pooler
+    return _pool_with_impl(p, feats, strides, boxes)
+
+
+def _pool_with_impl(p, feats, strides, boxes):
+    """Shared impl dispatch for the mask/keypoint poolers (the 14×14 Pallas
+    path reuses the generic packed window kernel; the gather path measured
+    199 ms vs ~11 ms for 64×100 boxes at 640² serving shapes)."""
+    if p.impl == "pallas" and p.type == "ROIAlignV2":
+        from detax.ops.roi_align_pallas import multiscale_roi_align_pallas
+
+        return multiscale_roi_align_pallas(
+            feats,
+            boxes,
+            strides,
+            output_size=p.output_size,
+            sampling_ratio=p.sampling_ratio,
+            canonical_box_size=p.canonical_box_size,
+            canonical_level=p.canonical_level,
+        )
     return multiscale_roi_align(
         feats,
         boxes,
@@ -436,7 +455,8 @@ def mask_rcnn_loss(
     targets = jax.lax.stop_gradient(targets)
     own = jnp.clip(classes, 0, conf.num_classes - 1)
     own_idx = jnp.broadcast_to(own[:, :, None, None, None], mask_logits.shape[:-1] + (1,))
-    logits = jnp.take_along_axis(mask_logits, own_idx, axis=-1)[..., 0]
+    # loss in f32 on the own-class slice (the head keeps its compute dtype)
+    logits = jnp.take_along_axis(mask_logits, own_idx, axis=-1)[..., 0].astype(jnp.float32)
     from detax.ops.losses import bce_with_logits
 
     loss = bce_with_logits(logits, targets) * is_fg[:, :, None, None]
@@ -452,17 +472,7 @@ def pool_keypoint_features(
 ) -> Array:
     feats = [features[f] for f in conf.in_features]
     strides = [feature_strides[f] for f in conf.in_features]
-    p = conf.keypoint_pooler
-    return multiscale_roi_align(
-        feats,
-        boxes,
-        strides,
-        output_size=p.output_size,
-        sampling_ratio=p.sampling_ratio,
-        aligned=p.type == "ROIAlignV2",
-        canonical_box_size=p.canonical_box_size,
-        canonical_level=p.canonical_level,
-    )
+    return _pool_with_impl(conf.keypoint_pooler, feats, strides, boxes)
 
 
 def keypoint_rcnn_loss(
@@ -522,4 +532,5 @@ def mask_inference(mask_logits: Array, classes: Array, num_classes: int) -> Arra
     ``(B, N, oh, ow)`` logits (caller applies sigmoid + pastes into boxes)."""
     own = jnp.clip(classes, 0, num_classes - 1)
     own_idx = jnp.broadcast_to(own[:, :, None, None, None], mask_logits.shape[:-1] + (1,))
-    return jnp.take_along_axis(mask_logits, own_idx, axis=-1)[..., 0]
+    # f32 on the selected plane only (the head keeps its compute dtype)
+    return jnp.take_along_axis(mask_logits, own_idx, axis=-1)[..., 0].astype(jnp.float32)

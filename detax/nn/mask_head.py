@@ -38,8 +38,12 @@ class MaskRCNNHead(nn.Module):
             nn.ConvTranspose(self.conv_dim, (2, 2), strides=(2, 2), kernel_init=_init,
                              dtype=self.dtype, name="deconv")(x)
         )
+        # compute dtype preserved: widening the (N, 28, 28, C) logit stack to
+        # f32 here costs ~2 GB of traffic at serving shapes (b64 × 100 dets ×
+        # 80 classes); mask_inference selects the own-class plane first and
+        # the loss/sigmoid consumers cast their (much smaller) slices up
         logits = nn.Conv(
             self.num_classes, (1, 1), kernel_init=nn.initializers.normal(0.001),
             dtype=self.dtype, name="predictor",
-        )(x).astype(jnp.float32)
+        )(x)
         return logits.reshape(lead + logits.shape[1:])

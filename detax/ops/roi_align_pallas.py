@@ -74,24 +74,25 @@ _ROWS = 56  # padded kron rows: 8 (padded ph) x 7 (pw)
 _WIN_YP = WIN_Y // 2  # packed window rows (y pairs in lanes), c<=64 path
 
 
-def _expand_rows(p: int, wy_vals, wx_val, precision):
+def _expand_rows(p: int, wy_vals, wx_val, precision, ph_pad: int = 8, pw: int = _PH):
     """In-kernel kron-row expansion from COMPACT per-axis weights.
 
-    The wrapper ships wy as (p·8, Wy) and wx as (p·7, Wx) — the 56-row
-    expansions (row j of box b: wy[b·8 + j//7], wx[b·7 + j%7]) are built
-    HERE with one-hot selector matmuls (exact row copies in any dtype, so
-    numerics are identical to shipping pre-expanded rows).  Shipping
-    compact rows cuts the per-box weight DMA 3.7× and — the real win —
-    deletes the XLA-side repeat/tile materialisation + relayout copies of
-    ~600 MB of expanded weights per b128 batch (~10 ms measured in the
-    round-3 HLO audit).
+    The wrapper ships wy as (p·ph_pad, Wy) and wx as (p·pw, Wx) — the
+    rows = ph_pad·pw expansions (row j of box b: wy[b·ph_pad + j//pw],
+    wx[b·pw + j%pw]) are built HERE with one-hot selector matmuls (exact
+    row copies in any dtype, so numerics are identical to shipping
+    pre-expanded rows).  Shipping compact rows cuts the per-box weight DMA
+    3.7× and — the real win — deletes the XLA-side repeat/tile
+    materialisation + relayout copies of ~600 MB of expanded weights per
+    b128 batch (~10 ms measured in the round-3 HLO audit).
     """
-    ry = jax.lax.broadcasted_iota(jnp.int32, (p * _ROWS, p * 8), 0)
-    cy = jax.lax.broadcasted_iota(jnp.int32, (p * _ROWS, p * 8), 1)
-    sy = (cy == (ry // _ROWS) * 8 + (ry % _ROWS) // _PH).astype(wy_vals[0].dtype)
-    rx = jax.lax.broadcasted_iota(jnp.int32, (p * _ROWS, p * _PH), 0)
-    cx = jax.lax.broadcasted_iota(jnp.int32, (p * _ROWS, p * _PH), 1)
-    sx = (cx == (rx // _ROWS) * _PH + (rx % _ROWS) % _PH).astype(wx_val.dtype)
+    rows = ph_pad * pw
+    ry = jax.lax.broadcasted_iota(jnp.int32, (p * rows, p * ph_pad), 0)
+    cy = jax.lax.broadcasted_iota(jnp.int32, (p * rows, p * ph_pad), 1)
+    sy = (cy == (ry // rows) * ph_pad + (ry % rows) // pw).astype(wy_vals[0].dtype)
+    rx = jax.lax.broadcasted_iota(jnp.int32, (p * rows, p * pw), 0)
+    cx = jax.lax.broadcasted_iota(jnp.int32, (p * rows, p * pw), 1)
+    sx = (cx == (rx // rows) * pw + (rx % rows) % pw).astype(wx_val.dtype)
     wy56 = [
         jnp.dot(sy, w, preferred_element_type=jnp.float32, precision=precision
                 ).astype(w.dtype)
@@ -203,7 +204,9 @@ def _kernel_factory(num_levels: int, c: int, c_out: int, p: int, out_dtype):
     return kernel
 
 
-def _kernel_factory_packed(num_levels: int, c_out: int, p: int, out_dtype):
+def _kernel_factory_packed(
+    num_levels: int, c_out: int, p: int, out_dtype, ph_pad: int = 8, pw: int = _PH
+):
     """Y-pair-packed kernel for c_out ≤ 64: the feature maps are stored as
     ``(B, H/2, W, 128)`` with row pairs interleaved into the lanes
     (lane = parity·64 + channel), so each box's window DMA moves
@@ -215,7 +218,12 @@ def _kernel_factory_packed(num_levels: int, c_out: int, p: int, out_dtype):
     the unpacked kernel (2 × K=640 vs 1 × K=1280): M_even applies the
     even-row bilinear weights (correct in the parity-0 lane half), M_odd
     the odd-row weights (correct in the parity-1 half), and the halves are
-    combined with a 64-lane fp32 roll + add."""
+    combined with a 64-lane fp32 roll + add.
+
+    Generic over the pooled output size: ``ph_pad`` (ph rounded up to the
+    8-sublane tile) × ``pw`` kron rows per box — (8, 7) for the box head,
+    (16, 14) for the mask/keypoint poolers."""
+    rows = ph_pad * pw
 
     def kernel(ints_ref, wye_ref, wyo_ref, wx_ref, t_ref, *refs):
         feat_refs = refs[:num_levels]
@@ -261,6 +269,8 @@ def _kernel_factory_packed(num_levels: int, c_out: int, p: int, out_dtype):
             [wye_ref[:].astype(mm_dtype), wyo_ref[:].astype(mm_dtype)],
             wx_ref[:].astype(mm_dtype),
             precision,
+            ph_pad=ph_pad,
+            pw=pw,
         )
 
         # SOFTWARE PIPELINE: build box j+1's m matrices between box j's two
@@ -271,16 +281,16 @@ def _kernel_factory_packed(num_levels: int, c_out: int, p: int, out_dtype):
         # per-box chunks are independent (disjoint scratch rows), so Mosaic
         # can dual-issue VPU work of iteration j+1 against MXU work of j.
         def build_m(j):
-            q = j * _ROWS
-            a1 = pltpu.repeat(wx56[q:q + _ROWS, :], _WIN_YP, axis=1)
+            q = j * rows
+            a1 = pltpu.repeat(wx56[q:q + rows, :], _WIN_YP, axis=1)
             for wexp, scr in ((wye56, me_scr), (wyo56, mo_scr)):
                 a2 = jnp.dot(
-                    wexp[q:q + _ROWS, :],
+                    wexp[q:q + rows, :],
                     t_ref[:].astype(mm_dtype),
                     preferred_element_type=jnp.float32,
                     precision=precision,
                 )
-                scr[q:q + _ROWS, :] = a1 * a2.astype(mm_dtype)
+                scr[q:q + rows, :] = a1 * a2.astype(mm_dtype)
 
         build_m(0)
         for j in range(p):
@@ -288,23 +298,23 @@ def _kernel_factory_packed(num_levels: int, c_out: int, p: int, out_dtype):
                 build_m(j + 1)
             wait_dma(j)
             win = window[j].reshape(_WIN_YP * WIN_X, 128)
-            # ONE (112, 640) @ (640, 128) matmul per box: stacking the even-
-            # and odd-row M halves along sublanes near-doubles MXU row fill
-            # (112/128 vs 56/128) and reads the window operand once instead
-            # of twice — measured ~-4 ms on the 30.9 ms kernel at b128
-            # serving shapes vs the two-matmul form.
+            # ONE (2·rows, 640) @ (640, 128) matmul per box: stacking the
+            # even- and odd-row M halves along sublanes near-doubles MXU row
+            # fill and reads the window operand once instead of twice —
+            # measured ~-4 ms on the 30.9 ms kernel at b128 serving shapes
+            # vs the two-matmul form.
             m2 = jnp.concatenate(
                 [
-                    me_scr[j * _ROWS:(j + 1) * _ROWS, :],
-                    mo_scr[j * _ROWS:(j + 1) * _ROWS, :],
+                    me_scr[j * rows:(j + 1) * rows, :],
+                    mo_scr[j * rows:(j + 1) * rows, :],
                 ],
                 axis=0,
             ).astype(win.dtype)
             o2 = jnp.dot(
                 m2, win, preferred_element_type=jnp.float32, precision=precision
-            )  # (112, 128): rows [0,56) parity-0 half valid, [56,112) parity-1
-            o = o2[:_ROWS] + pltpu.roll(o2[_ROWS:], 64, axis=1)  # fp32 roll
-            out_ref[pl.ds(j * _ROWS, _ROWS), :] = o[:, :c_out].astype(out_dtype)
+            )  # (2·rows, 128): [0,rows) parity-0 half valid, rest parity-1
+            o = o2[:rows] + pltpu.roll(o2[rows:], 64, axis=1)  # fp32 roll
+            out_ref[pl.ds(j * rows, rows), :] = o[:, :c_out].astype(out_dtype)
 
     return kernel
 
@@ -553,7 +563,12 @@ def multiscale_roi_align_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     ph, pw = output_size
-    assert (ph, pw) == (_PH, _PH), "pallas pooler is specialised for 7x7 output"
+    # packed kernel is generic over the pooled size (box head 7×7, mask/
+    # keypoint 14×14 — ph padded to the 8-sublane tile); the unpacked c>64
+    # and map-resident variants remain 7×7-specialised
+    assert ph == pw and ph in (_PH, 14), f"unsupported pooled size {output_size}"
+    ph_pad = -(-ph // 8) * 8
+    rows = ph_pad * pw
     b, r_boxes = boxes.shape[0], boxes.shape[1]
     c = features[0].shape[-1]
     dtype = features[0].dtype
@@ -616,9 +631,14 @@ def multiscale_roi_align_pallas(
     bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r_boxes)
 
     # fp32 (parity path) uses double the bytes everywhere — halve the
-    # program size so the scratches fit scoped VMEM
+    # program size so the scratches fit scoped VMEM; larger pooled sizes
+    # scale the per-box kron scratch by rows/56, so scale p down to match.
+    # p must be a multiple of 8: Mosaic requires SMEM/VMEM block sublane
+    # extents divisible by 8 (the (p, 5) ints block and the p·ph_pad weight
+    # blocks all scale with p).
     is_f32 = jnp.dtype(dtype) == jnp.float32
-    p = BOXES_PER_PROGRAM // (2 if is_f32 else 1)
+    p = max(2, (BOXES_PER_PROGRAM * 8 * _PH) // rows) // (2 if is_f32 else 1)
+    p = max(8, p - p % 8)
 
     # v4 map-resident path: eligible when the largest level map + the kron
     # scratch fit comfortably in scoped VMEM (~16 MB); boxes are sorted by
@@ -638,11 +658,13 @@ def multiscale_roi_align_pallas(
     # v3 probe showed window DMAs at ~99% of kernel time; packed stays on
     # the all-windows-up-front ring. Enable via _FORCE_PACKED_RESIDENT to
     # re-measure.
-    use_resident = (
-        use_packed and _FORCE_PACKED_RESIDENT
-        and (max_map_bytes + 2 * m_bytes_packed) <= RESIDENT_VMEM_BUDGET
-    ) or (
-        not use_packed and (max_map_bytes + m_bytes) <= RESIDENT_VMEM_BUDGET
+    use_resident = (ph, pw) == (_PH, _PH) and (
+        (
+            use_packed and _FORCE_PACKED_RESIDENT
+            and (max_map_bytes + 2 * m_bytes_packed) <= RESIDENT_VMEM_BUDGET
+        ) or (
+            not use_packed and (max_map_bytes + m_bytes) <= RESIDENT_VMEM_BUDGET
+        )
     )
     if use_resident:
         order = jnp.argsort(bidx * jnp.int32(num_levels) + lvl_idx.astype(jnp.int32), stable=True)
@@ -670,9 +692,9 @@ def multiscale_roi_align_pallas(
     x0 = jnp.clip(jnp.floor(x1), 0, jnp.take(pad_widths, lvl_idx).astype(jnp.float32) - WIN_X)
     x0 = jnp.floor(x0 / X_ALIGN) * X_ALIGN  # provable 8-alignment for the DMA
 
-    wy = _axis_weights(y1, bin_h, y0, h_true, ph, r, WIN_Y)  # (N, 7, WIN_Y)
-    wx = _axis_weights(x1, bin_w, x0, w_true, pw, r, WIN_X)  # (N, 7, WIN_X)
-    wy8 = jnp.pad(wy, ((0, 0), (0, 1), (0, 0)))  # pad py to 8
+    wy = _axis_weights(y1, bin_h, y0, h_true, ph, r, WIN_Y)  # (N, ph, WIN_Y)
+    wx = _axis_weights(x1, bin_w, x0, w_true, pw, r, WIN_X)  # (N, pw, WIN_X)
+    wy8 = jnp.pad(wy, ((0, 0), (0, ph_pad - ph), (0, 0)))  # pad py to the tile
     # weights ship COMPACT (8 + 7 rows per box); the 56-row kron expansion
     # happens in-kernel (_expand_rows) — the old XLA-side repeat/tile built
     # ~600 MB of expanded f32 rows per b128 batch (~10 ms of broadcast/
@@ -713,11 +735,11 @@ def multiscale_roi_align_pallas(
                 pltpu.SemaphoreType.DMA,
             ]
         else:
-            kernel = _kernel_factory_packed(num_levels, c, p, dtype)
+            kernel = _kernel_factory_packed(num_levels, c, p, dtype, ph_pad=ph_pad, pw=pw)
             scratch = [
                 pltpu.VMEM((p, _WIN_YP, WIN_X, 128), dtype),
-                pltpu.VMEM((p * _ROWS, _WIN_YP * WIN_X), m_dt),
-                pltpu.VMEM((p * _ROWS, _WIN_YP * WIN_X), m_dt),
+                pltpu.VMEM((p * rows, _WIN_YP * WIN_X), m_dt),
+                pltpu.VMEM((p * rows, _WIN_YP * WIN_X), m_dt),
                 pltpu.SemaphoreType.DMA((p,)),
             ]
         out = pl.pallas_call(
@@ -725,30 +747,31 @@ def multiscale_roi_align_pallas(
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec((p, 5), lambda i: (i, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((p * 8, _WIN_YP), lambda i: (i, 0)),  # wy even (compact)
-                pl.BlockSpec((p * 8, _WIN_YP), lambda i: (i, 0)),  # wy odd (compact)
-                pl.BlockSpec((p * _PH, WIN_X), lambda i: (i, 0)),  # wx (compact)
+                pl.BlockSpec((p * ph_pad, _WIN_YP), lambda i: (i, 0)),  # wy even
+                pl.BlockSpec((p * ph_pad, _WIN_YP), lambda i: (i, 0)),  # wy odd
+                pl.BlockSpec((p * pw, WIN_X), lambda i: (i, 0)),  # wx (compact)
                 pl.BlockSpec((_WIN_YP, _WIN_YP * WIN_X), lambda i: (0, 0)),
             ]
             + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
-            out_specs=pl.BlockSpec((p * _ROWS, c), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((n_pad * _ROWS, c), dtype),
+            out_specs=pl.BlockSpec((p * rows, c), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_pad * rows, c), dtype),
             scratch_shapes=scratch,
             interpret=interpret,
         )(
             ints,
-            wy8[..., 0::2].reshape(n_pad * 8, _WIN_YP),
-            wy8[..., 1::2].reshape(n_pad * 8, _WIN_YP),
-            wx.reshape(n_pad * _PH, WIN_X),
+            wy8[..., 0::2].reshape(n_pad * ph_pad, _WIN_YP),
+            wy8[..., 1::2].reshape(n_pad * ph_pad, _WIN_YP),
+            wx.reshape(n_pad * pw, WIN_X),
             t_sel,
             *feats,
         )
-        rows = 8 if keep_ph_pad else _PH
-        out = out.reshape(n_pad, 8, _PH, c)[:n, :rows]
+        rows_keep = ph_pad if keep_ph_pad else ph
+        out = out.reshape(n_pad, ph_pad, pw, c)[:n, :rows_keep]
         if use_resident:
             out = jnp.take(out, inv, axis=0)  # undo the segment sort
-        return out.reshape(b, r_boxes, rows, pw, c)
+        return out.reshape(b, r_boxes, rows_keep, pw, c)
 
+    assert (ph, pw) == (_PH, _PH), "the c>64 pooler paths are 7x7-specialised"
     if use_resident:
         kernel, (max_h, max_w) = _kernel_factory_resident(
             num_levels, c_pad, c, p, dtype, [(f.shape[1], f.shape[2]) for f in feats]

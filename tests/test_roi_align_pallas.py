@@ -177,3 +177,28 @@ def test_packed_resident_variant(rng):
     finally:
         rap._FORCE_PACKED_RESIDENT = False
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_14x14_mask_pooler_matches_gather(rng):
+    """The generic packed kernel at the mask/keypoint poolers' 14×14 output
+    (ph padded to the 16-row tile in-kernel) matches the gather path."""
+    feats, boxes, strides = _setup(rng)
+    want = np.asarray(
+        multiscale_roi_align(feats, boxes, strides, (14, 14), 2, True, max_side_cells=28)
+    )
+    got = np.asarray(multiscale_roi_align_pallas(feats, boxes, strides, (14, 14), 2))
+    assert got.shape == want.shape == (2, 12, 14, 14, 8)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_14x14_oracle_per_level(rng):
+    feats, boxes, strides = _setup(rng, b=1, n=4)
+    got = np.asarray(multiscale_roi_align_pallas(feats, boxes, strides, (14, 14), 2))
+    lv = np.asarray(assign_boxes_to_levels(boxes, 2, 5, 224, 4, max_side_cells=28))
+    for j in range(4):
+        l = int(lv[0, j]) - 2
+        want = roi_align_oracle(
+            np.asarray(feats[l][0]), np.asarray(boxes[0, j : j + 1]), 1.0 / strides[l],
+            (14, 14), 2, True,
+        )
+        np.testing.assert_allclose(got[0, j], want[0], rtol=1e-4, atol=1e-4)
