@@ -454,9 +454,12 @@ def mask_rcnn_loss(
     targets = crop_gt_masks(gt_masks, mask_stride, boxes, gt_index, (oh, ow))
     targets = jax.lax.stop_gradient(targets)
     own = jnp.clip(classes, 0, conf.num_classes - 1)
-    own_idx = jnp.broadcast_to(own[:, :, None, None, None], mask_logits.shape[:-1] + (1,))
-    # loss in f32 on the own-class slice (the head keeps its compute dtype)
-    logits = jnp.take_along_axis(mask_logits, own_idx, axis=-1)[..., 0].astype(jnp.float32)
+    # one-hot contraction (see mask_inference: the 1-of-C lane gather is
+    # ~40× slower on TPU); loss in f32 on the own-class slice
+    onehot = jax.nn.one_hot(own, conf.num_classes, dtype=mask_logits.dtype)
+    logits = jnp.einsum(
+        "bnhwc,bnc->bnhw", mask_logits, onehot, preferred_element_type=jnp.float32
+    )
     from detax.ops.losses import bce_with_logits
 
     loss = bce_with_logits(logits, targets) * is_fg[:, :, None, None]
@@ -531,6 +534,11 @@ def mask_inference(mask_logits: Array, classes: Array, num_classes: int) -> Arra
     """Select each detection's own-class mask: ``(B, N, oh, ow, C)`` →
     ``(B, N, oh, ow)`` logits (caller applies sigmoid + pastes into boxes)."""
     own = jnp.clip(classes, 0, num_classes - 1)
-    own_idx = jnp.broadcast_to(own[:, :, None, None, None], mask_logits.shape[:-1] + (1,))
-    # f32 on the selected plane only (the head keeps its compute dtype)
-    return jnp.take_along_axis(mask_logits, own_idx, axis=-1)[..., 0].astype(jnp.float32)
+    # one-hot contraction instead of take_along_axis: the per-position
+    # 1-of-C lane gather measured 86.8 ms at serving shapes (64×100 dets,
+    # 28², 80 classes) vs ~2 ms for the batched matvec — exact (0/1
+    # weights, f32 accumulate) and f32 on the selected plane only
+    onehot = jax.nn.one_hot(own, num_classes, dtype=mask_logits.dtype)  # (B, N, C)
+    return jnp.einsum(
+        "bnhwc,bnc->bnhw", mask_logits, onehot, preferred_element_type=jnp.float32
+    )
