@@ -69,6 +69,13 @@ X_ALIGN = 8
 BOXES_PER_PROGRAM = 24  # ring == p: every window resident in VMEM at once
 RESIDENT_VMEM_BUDGET = 12 * 1024 * 1024  # v4 map-resident path eligibility
 _FORCE_PACKED_RESIDENT = False  # v5 experiment gate (measured slower, see below)
+# v6 two-chained-matmul packed kernel: measured SLOWER (49.1 vs 31.4 ms at
+# b128 serving shapes) — eliminating the m-build's selector dots is not
+# worth lengthening each box's dependency chain to repeat→mask→dot→cast→
+# repeat→mask→dot (the single-matmul form lets Mosaic overlap the m-build
+# of box j+1 with the matmul of box j). Kept behind this gate with a
+# parity test; see _kernel_factory_packed_v6.
+_PACKED_V6 = False
 _PH = 7  # kernel is specialised for 7x7 output (the reference contract)
 _ROWS = 56  # padded kron rows: 8 (padded ph) x 7 (pw)
 _WIN_YP = WIN_Y // 2  # packed window rows (y pairs in lanes), c<=64 path
@@ -314,6 +321,105 @@ def _kernel_factory_packed(
                 m2, win, preferred_element_type=jnp.float32, precision=precision
             )  # (2·rows, 128): [0,rows) parity-0 half valid, rest parity-1
             o = o2[:rows] + pltpu.roll(o2[rows:], 64, axis=1)  # fp32 roll
+            out_ref[pl.ds(j * rows, rows), :] = o[:, :c_out].astype(out_dtype)
+
+    return kernel
+
+
+def _kernel_factory_packed_v6(
+    num_levels: int, c_out: int, p: int, out_dtype, ph_pad: int = 8, pw: int = _PH
+):
+    """v6 packed kernel: the pooled reduce as TWO chained MXU matmuls with
+    box-independent 0/1 masks.
+
+    Reassociating out = Σ_y wy·(Σ_x wx·win) makes both structured operands
+    factor as (per-box weight row, tile-repeated along lanes) × (CONSTANT
+    block mask):
+
+        U  = (repeat(wx_u)  ⊙ T2) @ win     (u_rows, 640) @ (640, 128)
+        o2 = (repeat(wy_eo) ⊙ T3) @ U       (2·rows, u_rows) @ (u_rows, 128)
+
+    where T2[r, (yp, x)] = δ(yp == r mod WIN_YP) and
+    T3[r, (px, yp)] = δ(px == r mod pw) are loop-invariant constants, and
+    U's rows are (px, yp) pairs. This deletes the per-box SELECTOR DOTS and
+    fp32 accumulators of the kron m-build (measured 13.1 ms across the
+    batch — VMEM-traffic-bound), leaving one lane-repeat + constant mask
+    multiply per operand. The parity combine is unchanged: o2's top block
+    applies even-row y-weights (valid in parity-0 lanes), the bottom block
+    odd (parity-1), folded with the 64-lane roll."""
+    rows = ph_pad * pw
+    u_rows = pw * _WIN_YP
+
+    def kernel(ints_ref, wyeo_ref, wx_ref, t2_ref, t3_ref, *refs):
+        feat_refs = refs[:num_levels]
+        out_ref = refs[num_levels]
+        window = refs[num_levels + 1]  # (p, WIN_YP, WIN_X, 128)
+        sems = refs[num_levels + 2]
+
+        def start_dma(j):
+            bidx = ints_ref[j, 0]
+            y0p = ints_ref[j, 1]  # packed-row origin (= y0 / 2)
+            x0 = pl.multiple_of((ints_ref[j, 2] // X_ALIGN) * X_ALIGN, X_ALIGN)
+            level = ints_ref[j, 3]
+            for l in range(num_levels):
+                @pl.when(level == l)
+                def _():
+                    pltpu.make_async_copy(
+                        feat_refs[l].at[bidx, pl.ds(y0p, _WIN_YP), pl.ds(x0, WIN_X), :],
+                        window.at[j],
+                        sems.at[j],
+                    ).start()
+
+        def wait_dma(j):
+            pltpu.make_async_copy(
+                feat_refs[0].at[0, pl.ds(0, _WIN_YP), pl.ds(0, WIN_X), :],
+                window.at[j],
+                sems.at[j],
+            ).wait()
+
+        for j in range(p):
+            start_dma(j)
+
+        is_f32 = jnp.dtype(out_dtype) == jnp.float32
+        precision = jax.lax.Precision.HIGHEST if is_f32 else jax.lax.Precision.DEFAULT
+        mm_dtype = jnp.float32 if is_f32 else out_dtype
+
+        # program-wide row expansions from the compact shipped weights
+        # (selector dots as in _expand_rows, but to the v6 row orderings)
+        rx = jax.lax.broadcasted_iota(jnp.int32, (p * u_rows, p * pw), 0)
+        cx = jax.lax.broadcasted_iota(jnp.int32, (p * u_rows, p * pw), 1)
+        sx = (cx == (rx // u_rows) * pw + (rx % u_rows) // _WIN_YP).astype(mm_dtype)
+        wx_u = jnp.dot(
+            sx, wx_ref[:].astype(mm_dtype),
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(mm_dtype)  # (p·u_rows, WIN_X): row (box, px, yp) → wx[box, px]
+        r2 = jax.lax.broadcasted_iota(jnp.int32, (p * 2 * rows, p * 2 * ph_pad), 0)
+        c2 = jax.lax.broadcasted_iota(jnp.int32, (p * 2 * rows, p * 2 * ph_pad), 1)
+        rr = r2 % (2 * rows)
+        sy = (
+            c2 == (r2 // (2 * rows)) * 2 * ph_pad + (rr // rows) * ph_pad + (rr % rows) // pw
+        ).astype(mm_dtype)
+        wy_eo = jnp.dot(
+            sy, wyeo_ref[:].astype(mm_dtype),
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(mm_dtype)  # (p·2·rows, WIN_YP): row (box, parity, py, px) → wy
+
+        t2 = t2_ref[:].astype(mm_dtype)  # (u_rows, WIN_YP·WIN_X) const mask
+        t3 = t3_ref[:].astype(mm_dtype)  # (2·rows, u_rows) const mask
+
+        for j in range(p):
+            wait_dma(j)
+            win = window[j].reshape(_WIN_YP * WIN_X, 128)
+            w1 = pltpu.repeat(wx_u[j * u_rows:(j + 1) * u_rows, :], _WIN_YP, axis=1) * t2
+            u = jnp.dot(
+                w1.astype(win.dtype), win,
+                preferred_element_type=jnp.float32, precision=precision,
+            ).astype(mm_dtype)  # (u_rows, 128): row (px, yp)
+            m2 = pltpu.repeat(wy_eo[j * 2 * rows:(j + 1) * 2 * rows, :], pw, axis=1) * t3
+            o2 = jnp.dot(
+                m2, u, preferred_element_type=jnp.float32, precision=precision
+            )  # (2·rows, 128): [0,rows) even-y weights, rest odd
+            o = o2[:rows] + pltpu.roll(o2[rows:], 64, axis=1)
             out_ref[pl.ds(j * rows, rows), :] = o[:, :c_out].astype(out_dtype)
 
     return kernel
@@ -734,6 +840,54 @@ def multiscale_roi_align_pallas(
                 pltpu.SMEM((1,), jnp.int32),
                 pltpu.SemaphoreType.DMA,
             ]
+        elif _PACKED_V6:
+            u_rows = pw * _WIN_YP
+            kernel = _kernel_factory_packed_v6(
+                num_levels, c, p, dtype, ph_pad=ph_pad, pw=pw
+            )
+            # T2[(px,yp), (yp',x)] = δ(yp'==yp); T3[(par,py,px), (px',yp)] = δ(px'==px)
+            t2 = jnp.asarray(
+                (np.arange(_WIN_YP * WIN_X)[None, :] // WIN_X)
+                == (np.arange(u_rows) % _WIN_YP)[:, None],
+                jnp.float32,
+            )
+            t3 = jnp.asarray(
+                (np.arange(u_rows)[None, :] // _WIN_YP)
+                == (np.arange(2 * rows) % pw)[:, None],
+                jnp.float32,
+            )
+            wy_eo = jnp.concatenate(
+                [wy8[..., 0::2], wy8[..., 1::2]], axis=1
+            )  # (N, 2·ph_pad, WIN_YP): even rows then odd rows per box
+            out = pl.pallas_call(
+                kernel,
+                grid=(grid,),
+                in_specs=[
+                    pl.BlockSpec((p, 5), lambda i: (i, 0), memory_space=pltpu.SMEM),
+                    pl.BlockSpec((p * 2 * ph_pad, _WIN_YP), lambda i: (i, 0)),
+                    pl.BlockSpec((p * pw, WIN_X), lambda i: (i, 0)),
+                    pl.BlockSpec((u_rows, _WIN_YP * WIN_X), lambda i: (0, 0)),
+                    pl.BlockSpec((2 * rows, u_rows), lambda i: (0, 0)),
+                ]
+                + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
+                out_specs=pl.BlockSpec((p * rows, c), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((n_pad * rows, c), dtype),
+                scratch_shapes=[
+                    pltpu.VMEM((p, _WIN_YP, WIN_X, 128), dtype),
+                    pltpu.SemaphoreType.DMA((p,)),
+                ],
+                interpret=interpret,
+            )(
+                ints,
+                wy_eo.reshape(n_pad * 2 * ph_pad, _WIN_YP),
+                wx.reshape(n_pad * pw, WIN_X),
+                t2,
+                t3,
+                *feats,
+            )
+            rows_keep = ph_pad if keep_ph_pad else ph
+            out = out.reshape(n_pad, ph_pad, pw, c)[:n, :rows_keep]
+            return out.reshape(b, r_boxes, rows_keep, pw, c)
         else:
             kernel = _kernel_factory_packed(num_levels, c, p, dtype, ph_pad=ph_pad, pw=pw)
             scratch = [

@@ -202,3 +202,18 @@ def test_pallas_14x14_oracle_per_level(rng):
             (14, 14), 2, True,
         )
         np.testing.assert_allclose(got[0, j], want[0], rtol=1e-4, atol=1e-4)
+
+
+def test_packed_v6_variant(rng):
+    # the v6 two-chained-matmul kernel is gated off by default (measured
+    # slower at b128 serving shapes) but must stay parity-exact
+    import detax.ops.roi_align_pallas as rap
+
+    feats, boxes, strides = _setup(rng, b=2, n=10)
+    want = np.asarray(multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 2))
+    rap._PACKED_V6 = True
+    try:
+        got = np.asarray(multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 2))
+    finally:
+        rap._PACKED_V6 = False
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
