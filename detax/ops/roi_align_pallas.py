@@ -236,9 +236,13 @@ def _kernel_factory_packed(
         feat_refs = refs[:num_levels]
         out_ref = refs[num_levels]
         window = refs[num_levels + 1]  # (p, WIN_YP, WIN_X, 128)
-        me_scr = refs[num_levels + 2]
-        mo_scr = refs[num_levels + 3]
-        sems = refs[num_levels + 4]
+        # ONE scratch holding box j's even M half at rows [j·2·rows, +rows)
+        # and its odd half at [j·2·rows+rows, +rows): the matmul operand is
+        # then a direct contiguous slice — the previous two-scratch layout
+        # needed a per-box concatenate that materialized an extra
+        # (2·rows, K) copy (~143 KB/box ≈ 5.5 GB/batch of VMEM traffic).
+        m_scr = refs[num_levels + 2]
+        sems = refs[num_levels + 3]
 
         def start_dma(j):
             bidx = ints_ref[j, 0]
@@ -290,14 +294,15 @@ def _kernel_factory_packed(
         def build_m(j):
             q = j * rows
             a1 = pltpu.repeat(wx56[q:q + rows, :], _WIN_YP, axis=1)
-            for wexp, scr in ((wye56, me_scr), (wyo56, mo_scr)):
+            for half, wexp in enumerate((wye56, wyo56)):
                 a2 = jnp.dot(
                     wexp[q:q + rows, :],
                     t_ref[:].astype(mm_dtype),
                     preferred_element_type=jnp.float32,
                     precision=precision,
                 )
-                scr[q:q + rows, :] = a1 * a2.astype(mm_dtype)
+                dst = j * 2 * rows + half * rows
+                m_scr[dst:dst + rows, :] = a1 * a2.astype(mm_dtype)
 
         build_m(0)
         for j in range(p):
@@ -309,14 +314,9 @@ def _kernel_factory_packed(
             # even- and odd-row M halves along sublanes near-doubles MXU row
             # fill and reads the window operand once instead of twice —
             # measured ~-4 ms on the 30.9 ms kernel at b128 serving shapes
-            # vs the two-matmul form.
-            m2 = jnp.concatenate(
-                [
-                    me_scr[j * rows:(j + 1) * rows, :],
-                    mo_scr[j * rows:(j + 1) * rows, :],
-                ],
-                axis=0,
-            ).astype(win.dtype)
+            # vs the two-matmul form. The halves are already adjacent in
+            # m_scr, so the operand is a contiguous slice (no concat copy).
+            m2 = m_scr[j * 2 * rows:(j + 1) * 2 * rows, :].astype(win.dtype)
             o2 = jnp.dot(
                 m2, win, preferred_element_type=jnp.float32, precision=precision
             )  # (2·rows, 128): [0,rows) parity-0 half valid, rest parity-1
@@ -892,8 +892,7 @@ def multiscale_roi_align_pallas(
             kernel = _kernel_factory_packed(num_levels, c, p, dtype, ph_pad=ph_pad, pw=pw)
             scratch = [
                 pltpu.VMEM((p, _WIN_YP, WIN_X, 128), dtype),
-                pltpu.VMEM((p * rows, _WIN_YP * WIN_X), m_dt),
-                pltpu.VMEM((p * rows, _WIN_YP * WIN_X), m_dt),
+                pltpu.VMEM((p * 2 * rows, _WIN_YP * WIN_X), m_dt),
                 pltpu.SemaphoreType.DMA((p,)),
             ]
         out = pl.pallas_call(
