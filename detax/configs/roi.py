@@ -35,7 +35,9 @@ class ROIPoolerConf(BaseConf):
     canonical_level: int = 4
     # reference default 0 = adaptive (dynamic shape); detax fixes it at 2
     sampling_ratio: int = 2
-    # "xla" gather path | "pallas" window-DMA kernel (TPU hot path)
+    # "xla" gather path | "pallas" window-DMA kernel (TPU hot path) |
+    # "pallas_q8" int8 windows + int8 M variant of the pallas kernel
+    # (serving lever; ΔmAP measured by scripts/eval_dmap.py)
     impl: str = "xla"
     # pallas-only serving option: emit the kernel's native (8, pw) pooled rows
     # (row 7 exactly zero) instead of slicing to (7, pw) — saves the XLA

@@ -142,7 +142,7 @@ def pool_features(
     feats = [features[f] for f in conf.in_features]
     strides = [feature_strides[f] for f in conf.in_features]
     p = conf.box_pooler
-    if p.impl == "pallas" and p.type == "ROIAlignV2":
+    if p.impl in ("pallas", "pallas_q8") and p.type == "ROIAlignV2":
         from detax.ops.roi_align_pallas import multiscale_roi_align_pallas
 
         return multiscale_roi_align_pallas(
@@ -154,6 +154,7 @@ def pool_features(
             canonical_box_size=p.canonical_box_size,
             canonical_level=p.canonical_level,
             keep_ph_pad=p.keep_ph_pad,
+            quantize=p.impl == "pallas_q8",
         )
     if p.impl == "window" and p.type == "ROIAlignV2":
         from detax.ops.roi_align import multiscale_roi_align_window
@@ -376,7 +377,7 @@ def _pool_with_impl(p, feats, strides, boxes):
     """Shared impl dispatch for the mask/keypoint poolers (the 14×14 Pallas
     path reuses the generic packed window kernel; the gather path measured
     199 ms vs ~11 ms for 64×100 boxes at 640² serving shapes)."""
-    if p.impl == "pallas" and p.type == "ROIAlignV2":
+    if p.impl in ("pallas", "pallas_q8") and p.type == "ROIAlignV2":
         from detax.ops.roi_align_pallas import multiscale_roi_align_pallas
 
         return multiscale_roi_align_pallas(
@@ -387,6 +388,7 @@ def _pool_with_impl(p, feats, strides, boxes):
             sampling_ratio=p.sampling_ratio,
             canonical_box_size=p.canonical_box_size,
             canonical_level=p.canonical_level,
+            quantize=p.impl == "pallas_q8",
         )
     return multiscale_roi_align(
         feats,

@@ -76,6 +76,14 @@ _FORCE_PACKED_RESIDENT = False  # v5 experiment gate (measured slower, see below
 # of box j+1 with the matmul of box j). Kept behind this gate with a
 # parity test; see _kernel_factory_packed_v6.
 _PACKED_V6 = False
+# v8 image-resident packed kernel (default): windows sliced directly from a
+# double-buffered VMEM-resident composite map — see _kernel_factory_packed_v8
+RESIDENT_V8 = True
+# estimated (buffers + M scratch) ceiling for v8 eligibility; the actual
+# Mosaic scoped allocation adds ~5 MB of expansion intermediates and block
+# double-buffering, covered by the raised per-kernel limit below
+V8_VMEM_BUDGET = 20 * 1024 * 1024
+V8_VMEM_LIMIT = 32 * 1024 * 1024  # per-kernel scoped-vmem limit (chip has 128M)
 _PH = 7  # kernel is specialised for 7x7 output (the reference contract)
 _ROWS = 56  # padded kron rows: 8 (padded ph) x 7 (pw)
 _WIN_YP = WIN_Y // 2  # packed window rows (y pairs in lanes), c<=64 path
@@ -322,6 +330,302 @@ def _kernel_factory_packed(
             )  # (2·rows, 128): [0,rows) parity-0 half valid, rest parity-1
             o = o2[:rows] + pltpu.roll(o2[rows:], 64, axis=1)  # fp32 roll
             out_ref[pl.ds(j * rows, rows), :] = o[:, :c_out].astype(out_dtype)
+
+    return kernel
+
+
+def _compose_layout(shapes):
+    """Pack the per-level packed map shapes [(Hl_packed, Wl_pad), ...] into
+    ONE composite buffer: levels wider than half the max width stack
+    full-width; the narrow ones fill two side-by-side columns (greedy by
+    height).  Returns per-level (row_off, col_off) and (H_big, W_big).
+    Column offsets are X_ALIGN-aligned so absorbed x-origins stay provably
+    aligned for the window slice."""
+    w_big = max(w for _, w in shapes)
+    half = w_big // 2
+    order = sorted(range(len(shapes)), key=lambda i: -shapes[i][1])
+    offs = [None] * len(shapes)
+    row = 0
+    narrow = []
+    for i in order:
+        h, w = shapes[i]
+        if w > half:
+            offs[i] = (row, 0)
+            row += h
+        else:
+            narrow.append(i)
+    coff2 = 0
+    if narrow:
+        max_nw = max(shapes[i][1] for i in narrow)
+        coff2 = -(-max_nw // X_ALIGN) * X_ALIGN
+    two_col = narrow and (coff2 + max(shapes[i][1] for i in narrow) <= w_big)
+    h1 = h2 = 0
+    for i in narrow:
+        h, w = shapes[i]
+        if two_col and h2 + h <= h1:
+            offs[i] = (row + h2, coff2)
+            h2 += h
+        else:
+            offs[i] = (row + h1, 0)
+            h1 += h
+    return offs, (max(row + max(h1, h2), _WIN_YP), w_big)
+
+
+def _kernel_factory_packed_v8(
+    num_levels: int,
+    c_out: int,
+    p: int,
+    out_dtype,
+    map_shapes,  # per level (Hl_packed, Wl_pad) of the packed feature refs
+    offsets,  # per level (row_off, col_off) inside the composite buffer
+    big_shape,  # (H_big, W_big) of the composite buffer
+    n_images: int,
+    ph_pad: int = 8,
+    pw: int = _PH,
+):
+    """v8: image-resident packed kernel with double-buffered prefetch.
+
+    The v3 per-box window DMAs are ROW-RATE-bound, not byte-bound: 38.4k
+    boxes × 16 strided rows = 614k DMA rows at the measured ~40M rows/s
+    ≈ 15 ms, and halving the bytes per row (int8 windows, q8 experiment)
+    changed nothing; a VMEM→VMEM window copy hits the same row rate
+    (probe: 13.8 vs 13.7 ms).  Direct dynamic-offset SLICES of a
+    VMEM-resident map, by contrast, run 2.2× faster than any window copy
+    (6.2 vs 13.7 ms incl. identical matmuls), so v8 keeps windows out of
+    the DMA engine entirely:
+
+    - the resident unit is the IMAGE: all levels' packed maps are DMA'd
+      (~156 rows/image vs 16 rows/box × 300 boxes) into ONE composite
+      VMEM buffer, laid out by :func:`_compose_layout`; the per-level
+      row/col offsets are absorbed into each box's (y0p, x0) on the XLA
+      side, so the kernel needs no level branching at all;
+    - boxes arrive naturally grouped by image (NO sort/unsort — the v7
+      sorted-segment experiment spent 10.6 ms on argsort + the un-sort
+      gather of the pooled output); the wrapper pads boxes-per-image up to
+      a multiple of p so every program serves exactly one image;
+    - the image check therefore runs ONCE per program, and the box loop is
+      branch-free wait-free slice+matmul — per-box @pl.when segment checks
+      were measured to cost ~8.5 ms in Mosaic pipelining (27.1 → 18.7 ms);
+    - the next image's maps prefetch into the spare buffer while the
+      current image's ~13 programs compute (the v5 resident kernel's
+      blocking transition DMA was its downfall).
+
+    SMEM state across grid steps: [0]=resident image, [1]=buffer index,
+    [2]=in-flight prefetch image (-1 none).
+    """
+    rows = ph_pad * pw
+
+    def kernel(ints_ref, wye_ref, wyo_ref, wx_ref, t_ref, *refs):
+        feat_refs = refs[:num_levels]
+        out_ref = refs[num_levels]
+        maps = refs[num_levels + 1]  # (2, H_big, W_big, 128)
+        m_scr = refs[num_levels + 2]
+        state = refs[num_levels + 3]  # SMEM (4,)
+        sem_cold = refs[num_levels + 4]
+        sem_pf = refs[num_levels + 5]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            state[0] = -1
+            state[1] = 0
+            state[2] = -1
+
+        def image_copies(img, buf, sem):
+            cps = []
+            for l in range(num_levels):
+                hl, wl = map_shapes[l]
+                roff, coff = offsets[l]
+                cps.append(
+                    pltpu.make_async_copy(
+                        feat_refs[l].at[img, pl.ds(0, hl), pl.ds(0, wl), :],
+                        maps.at[buf, pl.ds(roff, hl), pl.ds(coff, wl), :],
+                        sem,
+                    )
+                )
+            return cps
+
+        img = ints_ref[0, 0]  # every box in this program is from this image
+
+        @pl.when(img != state[0])
+        def _():
+            @pl.when(state[2] == img)
+            def _():  # the prefetch was for us — wait and flip buffers
+                for cp in image_copies(img, 1 - state[1], sem_pf):
+                    cp.wait()
+                state[1] = 1 - state[1]
+
+            @pl.when(state[2] != img)
+            def _():  # cold start (or defensive: stale prefetch to drain)
+                @pl.when(state[2] != -1)
+                def _():
+                    for cp in image_copies(0, 1 - state[1], sem_pf):
+                        cp.wait()  # byte counts match any image's copies
+                for cp in image_copies(img, 1 - state[1], sem_cold):
+                    cp.start()
+                for cp in image_copies(img, 1 - state[1], sem_cold):
+                    cp.wait()
+                state[1] = 1 - state[1]
+
+            state[0] = img
+            state[2] = -1
+
+        @pl.when((state[2] == -1) & (img + 1 < n_images))
+        def _():  # prefetch the next image into the spare buffer
+            for cp in image_copies(img + 1, 1 - state[1], sem_pf):
+                cp.start()
+            state[2] = img + 1
+
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if jnp.dtype(out_dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        mm_dtype = jnp.float32 if jnp.dtype(out_dtype) == jnp.float32 else out_dtype
+
+        (wye56, wyo56), wx56 = _expand_rows(
+            p,
+            [wye_ref[:].astype(mm_dtype), wyo_ref[:].astype(mm_dtype)],
+            wx_ref[:].astype(mm_dtype),
+            precision,
+            ph_pad=ph_pad,
+            pw=pw,
+        )
+
+        def build_m(j):
+            q = j * rows
+            a1 = pltpu.repeat(wx56[q:q + rows, :], _WIN_YP, axis=1)
+            for half, wexp in enumerate((wye56, wyo56)):
+                a2 = jnp.dot(
+                    wexp[q:q + rows, :],
+                    t_ref[:].astype(mm_dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+                dst = j * 2 * rows + half * rows
+                m_scr[dst:dst + rows, :] = a1 * a2.astype(mm_dtype)
+
+        buf = state[1]  # loop-invariant: hoisted out of the box loop
+        build_m(0)
+        for j in range(p):
+            if j + 1 < p:
+                build_m(j + 1)
+            y0p = ints_ref[j, 1]  # composite-buffer row (level roff absorbed)
+            x0 = pl.multiple_of((ints_ref[j, 2] // X_ALIGN) * X_ALIGN, X_ALIGN)
+            win = maps[buf, pl.ds(y0p, _WIN_YP), pl.ds(x0, WIN_X), :]
+            win = win.reshape(_WIN_YP * WIN_X, 128)
+            m2 = m_scr[j * 2 * rows:(j + 1) * 2 * rows, :].astype(win.dtype)
+            o2 = jnp.dot(
+                m2, win, preferred_element_type=jnp.float32, precision=precision
+            )
+            o = o2[:rows] + pltpu.roll(o2[rows:], 64, axis=1)
+            out_ref[pl.ds(j * rows, rows), :] = o[:, :c_out].astype(out_dtype)
+
+    return kernel
+
+
+def _kernel_factory_packed_q8(
+    num_levels: int, c_out: int, p: int, out_dtype, ph_pad: int = 8, pw: int = _PH
+):
+    """int8 variant of the packed kernel: windows arrive as per-level
+    per-channel symmetric int8 (quantized by the wrapper), M is built in
+    bf16 exactly as the bf16 kernel and rounded to int8 at the scratch
+    store, and the per-box reduce is ONE int8×int8→int32 MXU matmul.
+
+    Why: the packed bf16 kernel is bound by total VMEM traffic (window DMA
+    writes 6.3 GB + M scratch writes ~11 GB + matmul reads ~17 GB per b128
+    batch — the measured phase costs DMA 15.3 / m-build 12.7 / matmul 7.8 ms
+    barely overlap because they contend for the same port).  int8 halves the
+    window bytes and the M bytes end to end: DMA ~3.2 GB, M ~5.5 GB.
+
+    Numerics: M entries are pooled bilinear weight products in [0, 1],
+    quantized with fixed scale 127 (step 1/127 ≈ 2× the bf16 ulp at 1.0);
+    features use per-(level, channel) amax/127 scales.  Dequantization is a
+    single per-lane multiply folded into the f32 output
+    (``out = (Mq @ Wq) · s_lane/127``), selected per box from an (8, 128)
+    level table.  Exactness of the selector-dot weight expansion is
+    unchanged.  Quality is measured end-to-end as ΔmAP (scripts/eval_dmap.py
+    profile ``serving_fast_q8``) — this is a serving lever, opt-in via
+    ``ROIPoolerConf.impl = "pallas_q8"``, never the parity default.
+    """
+    rows = ph_pad * pw
+    pitch = -(-rows // 32) * 32  # int8 sublane tile is 32: align each half
+
+    def kernel(ints_ref, wye_ref, wyo_ref, wx_ref, t_ref, dq_ref, *refs):
+        feat_refs = refs[:num_levels]
+        out_ref = refs[num_levels]
+        window = refs[num_levels + 1]  # (p, WIN_YP, WIN_X, 128) int8
+        m_scr = refs[num_levels + 2]  # (p · 2 · pitch, K) int8
+        sems = refs[num_levels + 3]
+
+        def start_dma(j):
+            bidx = ints_ref[j, 0]
+            y0p = ints_ref[j, 1]
+            x0 = pl.multiple_of((ints_ref[j, 2] // X_ALIGN) * X_ALIGN, X_ALIGN)
+            level = ints_ref[j, 3]
+            for l in range(num_levels):
+                @pl.when(level == l)
+                def _():
+                    pltpu.make_async_copy(
+                        feat_refs[l].at[bidx, pl.ds(y0p, _WIN_YP), pl.ds(x0, WIN_X), :],
+                        window.at[j],
+                        sems.at[j],
+                    ).start()
+
+        def wait_dma(j):
+            pltpu.make_async_copy(
+                feat_refs[0].at[0, pl.ds(0, _WIN_YP), pl.ds(0, WIN_X), :],
+                window.at[j],
+                sems.at[j],
+            ).wait()
+
+        for j in range(p):
+            start_dma(j)
+
+        precision = jax.lax.Precision.DEFAULT
+        mm_dtype = jnp.bfloat16
+        (wye56, wyo56), wx56 = _expand_rows(
+            p,
+            [wye_ref[:].astype(mm_dtype), wyo_ref[:].astype(mm_dtype)],
+            wx_ref[:].astype(mm_dtype),
+            precision,
+            ph_pad=ph_pad,
+            pw=pw,
+        )
+
+        def build_m(j):
+            q = j * rows
+            a1 = pltpu.repeat(wx56[q:q + rows, :], _WIN_YP, axis=1)
+            for half, wexp in enumerate((wye56, wyo56)):
+                a2 = jnp.dot(
+                    wexp[q:q + rows, :],
+                    t_ref[:].astype(mm_dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+                # quantize in f32 (bf16's ulp at 127 is 0.5 — the +0.5
+                # round bias must be added in f32), truncate-toward-zero
+                # astype == round-half-up since m ≥ 0
+                m_f = a1.astype(jnp.float32) * a2
+                dst = j * 2 * pitch + half * pitch
+                m_scr[dst:dst + rows, :] = (m_f * 127.0 + 0.5).astype(jnp.int8)
+
+        build_m(0)
+        for j in range(p):
+            if j + 1 < p:
+                build_m(j + 1)
+            wait_dma(j)
+            win = window[j].reshape(_WIN_YP * WIN_X, 128)  # int8
+            m2 = m_scr[j * 2 * pitch:(j + 1) * 2 * pitch, :]  # int8, pad rows stale
+            o2 = jnp.dot(m2, win, preferred_element_type=jnp.int32)
+            # (2·pitch, 128) int32: rows [0,rows) parity-0, [pitch,pitch+rows)
+            # parity-1; the inter-half pad rows hold stale-M garbage, unused
+            o = o2[:rows] + pltpu.roll(o2[pitch:pitch + rows], 64, axis=1)
+            lvl = ints_ref[j, 3]
+            sel = jnp.zeros((1, o.shape[1]), jnp.float32)
+            for l in range(num_levels):
+                sel = sel + jnp.where(lvl == l, 1.0, 0.0) * dq_ref[l:l + 1, :]
+            out = o.astype(jnp.float32) * sel
+            out_ref[pl.ds(j * rows, rows), :] = out[:, :c_out].astype(out_dtype)
 
     return kernel
 
@@ -648,6 +952,7 @@ def multiscale_roi_align_pallas(
     canonical_level: int = 4,
     interpret: bool | None = None,
     keep_ph_pad: bool = False,
+    quantize: bool = False,
 ) -> Array:
     """Drop-in for :func:`detax.ops.roi_align.multiscale_roi_align`
     (aligned=True path) backed by the window-DMA kernel.
@@ -663,6 +968,11 @@ def multiscale_roi_align_pallas(
     row and pad its fc0 kernel with 448 dead rows (zero activations make
     their values irrelevant) — see
     :func:`detax.models.roi_heads.pad_box_head_params_for_ph_pad`.
+
+    quantize: int8 serving lever (``impl="pallas_q8"``): feature windows are
+    quantized per-(level, channel) to symmetric int8 and the per-box reduce
+    runs as an int8 MXU matmul with dequantization folded into the output —
+    see :func:`_kernel_factory_packed_q8`. Packed (c ≤ 64) non-f32 only.
     """
     from detax.ops.roi_align import assign_boxes_to_levels
 
@@ -718,6 +1028,67 @@ def multiscale_roi_align_pallas(
         pad_ws.append(wp)
         feats.append(f)
 
+    is_f32 = jnp.dtype(dtype) == jnp.float32
+    quantize = quantize and use_packed and not is_f32
+    dq_tab = None
+    if quantize:
+        # symmetric per-(level, channel) int8: the packed lane layout is
+        # (parity·64 + channel), so the amax — and therefore the scale —
+        # must agree across the two parity lanes of a channel for the
+        # kernel's post-roll sum to dequantize with one per-lane multiply
+        qfeats, dq_rows = [], []
+        for f in feats:
+            a = jnp.max(jnp.abs(f.astype(jnp.float32)), axis=(0, 1, 2))  # (128,)
+            ach = jnp.maximum(jnp.maximum(a[:64], a[64:]), 1e-8)
+            s_lane = jnp.concatenate([ach, ach]) * (1.0 / 127.0)
+            qfeats.append(
+                jnp.clip(jnp.round(f.astype(jnp.float32) / s_lane), -127, 127)
+                .astype(jnp.int8)
+            )
+            dq_rows.append(s_lane * (1.0 / 127.0))  # M carries its own 1/127
+        feats = qfeats
+        dq_tab = jnp.pad(jnp.stack(dq_rows), ((0, 8 - num_levels), (0, 0)))
+
+    # program size (also needed for the v8 per-image box padding below):
+    # fp32 (parity path) uses double the bytes everywhere — halve it so the
+    # scratches fit scoped VMEM; larger pooled sizes scale the per-box kron
+    # scratch by rows/56, so scale p down to match. p must be a multiple of
+    # 8 (Mosaic: SMEM/VMEM block sublane extents divisible by 8).
+    p = max(2, (BOXES_PER_PROGRAM * 8 * _PH) // rows) // (2 if is_f32 else 1)
+    p = max(8, p - p % 8)
+
+    # v8 (default packed path): image-resident composite map, double-buffered
+    offsets = big_shape = map_shapes_v8 = None
+    use_v8 = (
+        RESIDENT_V8
+        and use_packed
+        and not quantize
+        and not is_f32
+        and not _FORCE_PACKED_RESIDENT
+        and not _PACKED_V6
+    )
+    if use_v8:
+        map_shapes_v8 = [(f.shape[1], f.shape[2]) for f in feats]
+        offsets, big_shape = _compose_layout(map_shapes_v8)
+        esz = jnp.dtype(dtype).itemsize
+        p_v8 = min(p, 16)  # measured faster than 24 at serving shapes (and
+        # 16 | 256 → zero per-image padding for the serving profile)
+        vmem_v8 = (
+            2 * big_shape[0] * big_shape[1] * 128 * esz
+            + p_v8 * 2 * rows * _WIN_YP * WIN_X * esz
+        )
+        use_v8 = vmem_v8 <= V8_VMEM_BUDGET
+        if use_v8:
+            p = p_v8
+    r_out = r_boxes
+    if use_v8 and r_boxes % p:
+        # pad boxes-per-image to a multiple of p so every kernel program
+        # serves exactly one image (the image-residency check runs once per
+        # program); pad outputs are sliced off at the end
+        rp = -(-r_boxes // p) * p
+        boxes = jnp.pad(jnp.nan_to_num(boxes), ((0, 0), (0, rp - r_boxes), (0, 0)))
+        r_boxes = rp
+
     heights = jnp.array([f.shape[1] for f in features], jnp.float32)  # true extents
     widths = jnp.array([f.shape[2] for f in features], jnp.float32)
     pad_heights = jnp.array(pad_hs, jnp.int32)  # UNPACKED padded extents
@@ -735,16 +1106,6 @@ def multiscale_roi_align_pallas(
     flat_boxes = jnp.nan_to_num(boxes.reshape(-1, 4))  # padded slots may be junk
     n = flat_boxes.shape[0]
     bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r_boxes)
-
-    # fp32 (parity path) uses double the bytes everywhere — halve the
-    # program size so the scratches fit scoped VMEM; larger pooled sizes
-    # scale the per-box kron scratch by rows/56, so scale p down to match.
-    # p must be a multiple of 8: Mosaic requires SMEM/VMEM block sublane
-    # extents divisible by 8 (the (p, 5) ints block and the p·ph_pad weight
-    # blocks all scale with p).
-    is_f32 = jnp.dtype(dtype) == jnp.float32
-    p = max(2, (BOXES_PER_PROGRAM * 8 * _PH) // rows) // (2 if is_f32 else 1)
-    p = max(8, p - p % 8)
 
     # v4 map-resident path: eligible when the largest level map + the kron
     # scratch fit comfortably in scoped VMEM (~16 MB); boxes are sorted by
@@ -764,7 +1125,7 @@ def multiscale_roi_align_pallas(
     # v3 probe showed window DMAs at ~99% of kernel time; packed stays on
     # the all-windows-up-front ring. Enable via _FORCE_PACKED_RESIDENT to
     # re-measure.
-    use_resident = (ph, pw) == (_PH, _PH) and (
+    use_resident = (ph, pw) == (_PH, _PH) and not quantize and (
         (
             use_packed and _FORCE_PACKED_RESIDENT
             and (max_map_bytes + 2 * m_bytes_packed) <= RESIDENT_VMEM_BUDGET
@@ -809,9 +1170,15 @@ def multiscale_roi_align_pallas(
     lvl32 = lvl_idx.astype(jnp.int32)
     seg_key = bidx * num_levels + lvl32  # resident-map segment id
     y0_col = (y0 / 2 if use_packed else y0).astype(jnp.int32)  # packed-row origin
-    ints = jnp.stack(
-        [bidx, y0_col, x0.astype(jnp.int32), lvl32, seg_key], axis=1
-    )  # (N, 5)
+    x0_col = x0.astype(jnp.int32)
+    if use_v8:
+        # absorb each level's composite-buffer placement into the box's
+        # window origin — the kernel then needs no level information at all
+        roffs = jnp.asarray([o[0] for o in offsets], jnp.int32)
+        coffs = jnp.asarray([o[1] for o in offsets], jnp.int32)
+        y0_col = y0_col + jnp.take(roffs, lvl_idx)
+        x0_col = x0_col + jnp.take(coffs, lvl_idx)  # coffs are X_ALIGN-aligned
+    ints = jnp.stack([bidx, y0_col, x0_col, lvl32, seg_key], axis=1)  # (N, 5)
 
     n_pad = ((n + p - 1) // p) * p
     if n_pad != n:
@@ -888,6 +1255,28 @@ def multiscale_roi_align_pallas(
             rows_keep = ph_pad if keep_ph_pad else ph
             out = out.reshape(n_pad, ph_pad, pw, c)[:n, :rows_keep]
             return out.reshape(b, r_boxes, rows_keep, pw, c)
+        elif use_v8:
+            kernel = _kernel_factory_packed_v8(
+                num_levels, c, p, dtype, map_shapes_v8, offsets, big_shape, b,
+                ph_pad=ph_pad, pw=pw,
+            )
+            scratch = [
+                pltpu.VMEM((2, big_shape[0], big_shape[1], 128), dtype),
+                pltpu.VMEM((p * 2 * rows, _WIN_YP * WIN_X), m_dt),
+                pltpu.SMEM((4,), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ]
+        elif quantize:
+            pitch = -(-rows // 32) * 32  # int8 sublane tile alignment
+            kernel = _kernel_factory_packed_q8(
+                num_levels, c, p, dtype, ph_pad=ph_pad, pw=pw
+            )
+            scratch = [
+                pltpu.VMEM((p, _WIN_YP, WIN_X, 128), jnp.int8),
+                pltpu.VMEM((p * 2 * pitch, _WIN_YP * WIN_X), jnp.int8),
+                pltpu.SemaphoreType.DMA((p,)),
+            ]
         else:
             kernel = _kernel_factory_packed(num_levels, c, p, dtype, ph_pad=ph_pad, pw=pw)
             scratch = [
@@ -895,9 +1284,15 @@ def multiscale_roi_align_pallas(
                 pltpu.VMEM((p * 2 * rows, _WIN_YP * WIN_X), m_dt),
                 pltpu.SemaphoreType.DMA((p,)),
             ]
+        dq_specs = [pl.BlockSpec((8, 128), lambda i: (0, 0))] if quantize else []
+        dq_args = (dq_tab,) if quantize else ()
+        cparams = (
+            pltpu.CompilerParams(vmem_limit_bytes=V8_VMEM_LIMIT) if use_v8 else None
+        )
         out = pl.pallas_call(
             kernel,
             grid=(grid,),
+            compiler_params=cparams,
             in_specs=[
                 pl.BlockSpec((p, 5), lambda i: (i, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((p * ph_pad, _WIN_YP), lambda i: (i, 0)),  # wy even
@@ -905,6 +1300,7 @@ def multiscale_roi_align_pallas(
                 pl.BlockSpec((p * pw, WIN_X), lambda i: (i, 0)),  # wx (compact)
                 pl.BlockSpec((_WIN_YP, _WIN_YP * WIN_X), lambda i: (0, 0)),
             ]
+            + dq_specs
             + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
             out_specs=pl.BlockSpec((p * rows, c), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((n_pad * rows, c), dtype),
@@ -916,13 +1312,15 @@ def multiscale_roi_align_pallas(
             wy8[..., 1::2].reshape(n_pad * ph_pad, _WIN_YP),
             wx.reshape(n_pad * pw, WIN_X),
             t_sel,
+            *dq_args,
             *feats,
         )
         rows_keep = ph_pad if keep_ph_pad else ph
         out = out.reshape(n_pad, ph_pad, pw, c)[:n, :rows_keep]
         if use_resident:
             out = jnp.take(out, inv, axis=0)  # undo the segment sort
-        return out.reshape(b, r_boxes, rows_keep, pw, c)
+        out = out.reshape(b, r_boxes, rows_keep, pw, c)
+        return out[:, :r_out] if r_out != r_boxes else out
 
     assert (ph, pw) == (_PH, _PH), "the c>64 pooler paths are 7x7-specialised"
     if use_resident:

@@ -95,12 +95,18 @@ def compile_or_load(
     shapes_sig = ",".join(
         f"{x.dtype}{tuple(x.shape)}" for x in jax.tree_util.tree_leaves(example_args)
     )
-    key = fingerprint(conf_json, shapes_sig)
+    # the key must be CODE-sensitive, not just config-sensitive: a kernel or
+    # model change with identical config/shapes must miss the cache. Tracing
+    # + lowering is cheap (seconds) next to compiling (minutes), so hash the
+    # lowered program text into the key.
+    lowered = jax.jit(fn).lower(*example_args)
+    code_sig = hashlib.sha256(lowered.as_text().encode()).hexdigest()[:16]
+    key = fingerprint(conf_json + "|" + code_sig, shapes_sig)
     if cache_dir:
         loaded = load_compiled(cache_dir, key)
         if loaded is not None:
             return loaded, "aot"
-    compiled = jax.jit(fn).lower(*example_args).compile()
+    compiled = lowered.compile()
     if cache_dir:
         save_compiled(cache_dir, key, compiled)
     return compiled, "compiled"

@@ -195,7 +195,7 @@ def main(n_boxes=38400, size=640):
 
     args = (feats_p, ints, wye, wyo, wxr, t_sel)
     kw = dict(n_pad=n_pad, p=p, c=c, num_levels=num_levels, dtype=jnp.bfloat16)
-    for phase in ("mbuild", "mchunk", "matmul"):
+    for phase in ("dma", "mbuild", "matmul", "mbuild+matmul", "full"):
         f = jax.jit(
             functools.partial(run_phase, phase),
             static_argnames=("n_pad", "p", "c", "num_levels", "dtype"),

@@ -217,3 +217,49 @@ def test_packed_v6_variant(rng):
     finally:
         rap._PACKED_V6 = False
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_v8_image_resident_exact_vs_v3_bf16(rng):
+    # the image-resident v8 kernel (bf16 packed default) must be
+    # BIT-IDENTICAL to the v3 window-DMA kernel: same M, same matmul, the
+    # windows are just sliced from a VMEM-resident composite map. r=25 is
+    # deliberately not a multiple of the program size to exercise the
+    # per-image box padding + output slice.
+    import detax.ops.roi_align_pallas as rap
+
+    feats, boxes, strides = _setup(rng, b=3, n=25, c=16)
+    feats = [f.astype(jnp.bfloat16) for f in feats]
+    try:
+        assert rap.RESIDENT_V8
+        for size in ((7, 7), (14, 14)):
+            want = np.asarray(
+                multiscale_roi_align_pallas(feats, boxes, strides, size, 2)
+            ).astype(np.float32)
+            rap.RESIDENT_V8 = False
+            got = np.asarray(
+                multiscale_roi_align_pallas(feats, boxes, strides, size, 2)
+            ).astype(np.float32)
+            rap.RESIDENT_V8 = True
+            np.testing.assert_array_equal(got, want)
+    finally:
+        rap.RESIDENT_V8 = True
+
+
+def test_quantized_pooler_q8_close_to_exact(rng):
+    # int8 serving lever (impl="pallas_q8"): per-(level, channel) symmetric
+    # int8 windows + int8 M. Not exact by construction — assert it tracks
+    # the exact bf16 kernel within the quantization error budget (~2% of
+    # the output range; measured 1.8% max on random features).
+    feats, boxes, strides = _setup(rng, b=2, n=16, c=16)
+    feats = [f.astype(jnp.bfloat16) for f in feats]
+    want = np.asarray(
+        multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 2)
+    ).astype(np.float32)
+    got = np.asarray(
+        multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 2, quantize=True)
+    ).astype(np.float32)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() <= 0.03 * scale
+    # and it must stay well-correlated (sanity against sign/layout bugs)
+    cc = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert cc > 0.999
