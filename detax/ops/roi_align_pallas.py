@@ -419,10 +419,9 @@ def _kernel_factory_packed_v8(
         feat_refs = refs[:num_levels]
         out_ref = refs[num_levels]
         maps = refs[num_levels + 1]  # (2, H_big, W_big, 128)
-        m_scr = refs[num_levels + 2]
-        state = refs[num_levels + 3]  # SMEM (4,)
-        sem_cold = refs[num_levels + 4]
-        sem_pf = refs[num_levels + 5]
+        state = refs[num_levels + 2]  # SMEM (4,)
+        sem_cold = refs[num_levels + 3]
+        sem_pf = refs[num_levels + 4]
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -491,31 +490,36 @@ def _kernel_factory_packed_v8(
             pw=pw,
         )
 
-        def build_m(j):
+        tmat = t_ref[:].astype(mm_dtype)
+        buf = state[1]  # loop-invariant: hoisted out of the box loop
+        for j in range(p):
+            # M is computed straight into vector registers and fed to the
+            # MXU — no VMEM scratch round-trip. The scratch-staged form
+            # (software-pipelined build_m of box j+1 between box j's
+            # matmuls, inherited from the window-DMA kernels) measured
+            # 3.3× SLOWER in the v8 setting: the store+load of ~143 KB of
+            # M per box moved ~22 GB/batch through VMEM for nothing once
+            # the window fetch stopped competing for issue slots.
             q = j * rows
             a1 = pltpu.repeat(wx56[q:q + rows, :], _WIN_YP, axis=1)
-            for half, wexp in enumerate((wye56, wyo56)):
-                a2 = jnp.dot(
-                    wexp[q:q + rows, :],
-                    t_ref[:].astype(mm_dtype),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
-                dst = j * 2 * rows + half * rows
-                m_scr[dst:dst + rows, :] = a1 * a2.astype(mm_dtype)
-
-        buf = state[1]  # loop-invariant: hoisted out of the box loop
-        build_m(0)
-        for j in range(p):
-            if j + 1 < p:
-                build_m(j + 1)
+            a2e = jnp.dot(
+                wye56[q:q + rows, :], tmat,
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            a2o = jnp.dot(
+                wyo56[q:q + rows, :], tmat,
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            m2 = jnp.concatenate(
+                [a1 * a2e.astype(mm_dtype), a1 * a2o.astype(mm_dtype)], axis=0
+            )
             y0p = ints_ref[j, 1]  # composite-buffer row (level roff absorbed)
             x0 = pl.multiple_of((ints_ref[j, 2] // X_ALIGN) * X_ALIGN, X_ALIGN)
             win = maps[buf, pl.ds(y0p, _WIN_YP), pl.ds(x0, WIN_X), :]
             win = win.reshape(_WIN_YP * WIN_X, 128)
-            m2 = m_scr[j * 2 * rows:(j + 1) * 2 * rows, :].astype(win.dtype)
             o2 = jnp.dot(
-                m2, win, preferred_element_type=jnp.float32, precision=precision
+                m2.astype(win.dtype), win,
+                preferred_element_type=jnp.float32, precision=precision,
             )
             o = o2[:rows] + pltpu.roll(o2[rows:], 64, axis=1)
             out_ref[pl.ds(j * rows, rows), :] = o[:, :c_out].astype(out_dtype)
@@ -1262,7 +1266,6 @@ def multiscale_roi_align_pallas(
             )
             scratch = [
                 pltpu.VMEM((2, big_shape[0], big_shape[1], 128), dtype),
-                pltpu.VMEM((p * 2 * rows, _WIN_YP * WIN_X), m_dt),
                 pltpu.SMEM((4,), jnp.int32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
