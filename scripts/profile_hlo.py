@@ -42,7 +42,7 @@ def build_serving_fwd(batch):
     base = FasterRCNNConf(preprocess=PreprocessConf(image_size=SIZE))
     conf = base.replace(
         rpn=base.rpn.replace(
-            pre_nms_topk=(2000, 512), post_nms_topk=(2000, 300),
+            pre_nms_topk=(2000, 512), post_nms_topk=(2000, 256),
             nms_impl="pallas", topk_impl="approx", topk_recall=0.8,
         ),
         roi=base.roi.replace(
