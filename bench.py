@@ -33,7 +33,7 @@ WARMUP = 3
 ITERS = 20
 # per-model batch: throughput keeps rising with batch; RetinaNet R50@640
 # activations cap it lower than the R18 flagship
-BATCHES = {"frcnn": 128, "retinanet": 128, "yolo": 128, "mask": 64}
+BATCHES = {"frcnn": 128, "retinanet": 128, "yolo": 128, "mask": 128}
 BATCH = 128
 
 
