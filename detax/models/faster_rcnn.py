@@ -153,7 +153,33 @@ class FasterRCNN(nn.Module):
         boxes, classes, tboxes, is_fg, valid, gt_idx, roi_metrics = label_and_sample_proposals(
             k_roi, self.conf.roi, proposals, gt
         )
-        pooled = pool_features(self.conf.roi, feats, self._strides(), boxes)
+        # TRAINING pools through the differentiable XLA gather path even when
+        # the conf selects the Pallas pooler: pallas_call with scratch/DMA
+        # semantics has no JVP rule on TPU (jax asserts in
+        # _pallas_call_jvp_rule), and the gather path is its semantic twin
+        # (the only divergence is the serving kernel's window-fitting level
+        # assignment, quantified as ΔmAP in scripts/eval_dmap.py). CPU tests
+        # never hit this: interpret-mode pallas IS differentiable.
+        roi_train = self.conf.roi
+        pad_ph = False
+        if roi_train.box_pooler.impl.startswith("pallas"):
+            pad_ph = roi_train.box_pooler.keep_ph_pad  # fc0 expects 8 rows
+            roi_train = roi_train.replace(
+                box_pooler=roi_train.box_pooler.replace(impl="xla", keep_ph_pad=False)
+            )
+        if roi_train.mask_pooler.impl.startswith("pallas"):
+            roi_train = roi_train.replace(
+                mask_pooler=roi_train.mask_pooler.replace(impl="xla")
+            )
+        if roi_train.keypoint_pooler.impl.startswith("pallas"):
+            roi_train = roi_train.replace(
+                keypoint_pooler=roi_train.keypoint_pooler.replace(impl="xla")
+            )
+        pooled = pool_features(roi_train, feats, self._strides(), boxes)
+        if pad_ph:
+            # reproduce the serving kernel's zero pad row so the box head's
+            # ph_pad-shaped fc0 kernel applies unchanged
+            pooled = jnp.pad(pooled, ((0, 0), (0, 0), (0, 1), (0, 0), (0, 0)))
         scores, box_deltas = self.roi(pooled, train=True)
         roi_loss = fast_rcnn_losses(
             self.conf.roi, scores, box_deltas, boxes, classes, tboxes, is_fg, valid
@@ -164,7 +190,7 @@ class FasterRCNN(nn.Module):
             # mask branch on the first mask_rois slots (sampling is fg-first)
             k = self.conf.roi.mask_rois
             mboxes = boxes[:, :k]
-            mp = pool_mask_features(self.conf.roi, feats, self._strides(), mboxes)
+            mp = pool_mask_features(roi_train, feats, self._strides(), mboxes)
             mlogits = self.roi.mask_forward(mp, train=True)
             losses["loss_mask"] = mask_rcnn_loss(
                 self.conf.roi,
@@ -179,7 +205,7 @@ class FasterRCNN(nn.Module):
         if self.conf.roi.keypoint_on and gt.keypoints is not None:
             kk = self.conf.roi.keypoint_rois
             kboxes = boxes[:, :kk]
-            kp = pool_keypoint_features(self.conf.roi, feats, self._strides(), kboxes)
+            kp = pool_keypoint_features(roi_train, feats, self._strides(), kboxes)
             klogits = self.roi.keypoint_forward(kp, train=True)
             losses["loss_keypoint"] = keypoint_rcnn_loss(
                 self.conf.roi, klogits, gt.keypoints, kboxes, gt_idx[:, :kk], is_fg[:, :kk]
