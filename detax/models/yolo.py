@@ -34,30 +34,6 @@ from detax.structures.detections import Detections, GroundTruth
 from detax.structures.image_batch import ImageBatch
 
 
-def _decode_level(raw: Array, anchors_wh: Array, stride: int, hw: Tuple[int, int]) -> Tuple[Array, Array, Array]:
-    """raw (B, H*W*A, 5+C) → (boxes (B,H*W*A,4), obj (B,H*W*A), cls (B,H*W*A,C))."""
-    h, w = hw
-    b = raw.shape[0]
-    a = anchors_wh.shape[0]
-    txy = jax.nn.sigmoid(raw[..., 0:2])
-    twh = raw[..., 2:4]
-    obj = raw[..., 4]
-    cls = raw[..., 5:]
-
-    gy = jnp.arange(h, dtype=jnp.float32)
-    gx = jnp.arange(w, dtype=jnp.float32)
-    grid = jnp.stack(
-        [jnp.tile(gx[None, :], (h, 1)), jnp.tile(gy[:, None], (1, w))], axis=-1
-    )  # (H, W, 2) as (x, y)
-    grid = jnp.broadcast_to(grid[:, :, None, :], (h, w, a, 2)).reshape(1, h * w * a, 2)
-    wh_prior = jnp.broadcast_to(anchors_wh[None, None, :, :], (h, w, a, 2)).reshape(1, h * w * a, 2)
-
-    cxy = (txy + grid) * stride
-    wh = wh_prior * jnp.exp(jnp.clip(twh, None, 8.0))
-    boxes = jnp.concatenate([cxy - wh / 2, cxy + wh / 2], axis=-1)
-    return boxes, obj, cls
-
-
 class YOLO(nn.Module):
     conf: YOLOConf
     dtype: Optional[jnp.dtype] = None
@@ -86,18 +62,40 @@ class YOLO(nn.Module):
         raw, hws = self._forward_raw(images, train)
         cand_boxes, cand_scores, cand_classes = [], [], []
         for lvl, (r, hw) in enumerate(zip(raw, hws)):
+            h, w = hw
+            stride = c.head.strides[lvl]
             anchors_wh = jnp.asarray(c.head.anchors[lvl], jnp.float32)
-            boxes, obj, cls = _decode_level(r, anchors_wh, c.head.strides[lvl], hw)
+            a = anchors_wh.shape[0]
             # classic YOLO decode: one (best) class per anchor, then top-k
             # over anchors only — a top-k over the full anchors x classes
-            # grid would sort ~1.5M keys per level on TPU
+            # grid would sort ~1.5M keys per level on TPU.
+            #
+            # SELECT-BEFORE-DECODE (the RPN's round-2 inversion, applied
+            # here in round 3): the score needs only (obj, best class
+            # logit), so the box decode — full-grid sigmoid/exp/concat in
+            # f32, plus a (B, R, 4) gather — runs on the k winners only,
+            # with their grid cells and wh-priors reconstructed from the
+            # top-k indices arithmetically. Candidate set and values are
+            # identical (the score order never depended on the decode).
+            obj = r[..., 4]
+            cls = r[..., 5:]
             best_cls = jnp.argmax(cls, axis=-1).astype(jnp.int32)  # (B, R)
             best_logit = jnp.max(cls, axis=-1)
-            score = jax.nn.sigmoid(obj) * jax.nn.sigmoid(best_logit)  # (B, R)
+            score = jax.nn.sigmoid(obj.astype(jnp.float32)) * jax.nn.sigmoid(
+                best_logit.astype(jnp.float32)
+            )  # (B, R)
             b, rr = score.shape
             k = min(c.topk_candidates, rr)
             sc, a_idx = jax.lax.top_k(score, k)
-            bx = jnp.take_along_axis(boxes, a_idx[..., None], axis=1)
+            sel = jnp.take_along_axis(r[..., 0:4], a_idx[..., None], axis=1)
+            sel = sel.astype(jnp.float32)  # (B, k, 4)
+            a_of = a_idx % a
+            cell = a_idx // a
+            gxy = jnp.stack([(cell % w), cell // w], axis=-1).astype(jnp.float32)
+            wh_prior = jnp.take(anchors_wh, a_of, axis=0)  # (B, k, 2): 3-row table
+            cxy = (jax.nn.sigmoid(sel[..., 0:2]) + gxy) * stride
+            wh = wh_prior * jnp.exp(jnp.clip(sel[..., 2:4], None, 8.0))
+            bx = jnp.concatenate([cxy - wh / 2, cxy + wh / 2], axis=-1)
             cand_boxes.append(bx)
             cand_scores.append(sc)
             cand_classes.append(jnp.take_along_axis(best_cls, a_idx, axis=1))
@@ -149,6 +147,7 @@ class YOLO(nn.Module):
         num_assigned = jnp.sum(gt.valid)
         total_anchors = 0
         for lvl, (r, hw) in enumerate(zip(raw, hws)):
+            r = r.astype(jnp.float32)  # losses in f32 (head emits compute dtype)
             h, w = hw
             stride = c.head.strides[lvl]
             anchors_wh = jnp.asarray(c.head.anchors[lvl], jnp.float32)

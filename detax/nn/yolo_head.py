@@ -38,5 +38,8 @@ class YOLOHead(nn.Module):
                                 dtype=self.dtype, name=f"conv{i}")(y))
             p = nn.Conv(pred_ch, (1, 1), kernel_init=_init, dtype=self.dtype, name=f"pred{i}")(y)
             n, h, w, _ = p.shape
-            out.append(p.astype(jnp.float32).reshape(n, h * w * self.num_anchors, 5 + self.num_classes))
+            # raw stays in the compute dtype: widening to f32 at full map
+            # resolution cost ~8 ms/batch of relayout+copy traffic at 640²
+            # b128 (HLO audit) — consumers cast their (small) selections up
+            out.append(p.reshape(n, h * w * self.num_anchors, 5 + self.num_classes))
         return out

@@ -238,3 +238,74 @@ def test_config_json_roundtrip(tmp_path):
     conf.save(path)
     loaded = FasterRCNNConf.load(path)
     assert loaded == conf
+
+
+def test_yolo_select_before_decode_matches_decode_all(images):
+    # round-3 restructure: the model scores/top-ks BEFORE decoding boxes
+    # (decode runs on the k winners only, grid/prior rebuilt from indices).
+    # The score never depended on the decode, so the candidate set and the
+    # decoded values must be IDENTICAL to the decode-everything oracle.
+    conf = YOLOConf(
+        backbone=ResNetConf(stage_blocks=(1, 1, 1, 1)),
+        num_classes=7,
+        topk_candidates=16,
+        detections_per_image=8,
+        preprocess=PreprocessConf(image_size=IMG),
+    )
+    model = YOLO(conf=conf)
+    params = model.init(jax.random.PRNGKey(3), images)
+    raw, hws = model.apply(params, images, False, method=YOLO._forward_raw)
+
+    cand_boxes, cand_scores, cand_classes = [], [], []
+    for lvl, (r, (h, w)) in enumerate(zip(raw, hws)):
+        r = np.asarray(r, np.float32)
+        anchors_wh = np.asarray(conf.head.anchors[lvl], np.float32)
+        a = anchors_wh.shape[0]
+        stride = conf.head.strides[lvl]
+        b, rr, _ = r.shape
+
+        def sig(x):
+            return 1.0 / (1.0 + np.exp(-x))
+
+        # oracle: decode EVERY anchor, then select
+        gy, gx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        grid = np.stack([gx, gy], -1)[:, :, None, :].repeat(a, 2).reshape(1, rr, 2)
+        prior = np.broadcast_to(anchors_wh[None, None], (h, w, a, 2)).reshape(1, rr, 2)
+        cxy = (sig(r[..., 0:2]) + grid) * stride
+        wh = prior * np.exp(np.clip(r[..., 2:4], None, 8.0))
+        boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1)
+        best = r[..., 5:].max(-1)
+        cls = r[..., 5:].argmax(-1)
+        score = sig(r[..., 4]) * sig(best)
+        order = np.argsort(-score, axis=1, kind="stable")[:, :16]
+        cand_boxes.append(np.take_along_axis(boxes, order[..., None], 1))
+        cand_scores.append(np.take_along_axis(score, order, 1))
+        cand_classes.append(np.take_along_axis(cls, order, 1))
+
+    # model candidates: re-run the model's own selection loop via __call__
+    # up to NMS is not exposed, so compare through identical NMS instead
+    from detax.ops.nms import multiclass_nms
+    from detax.structures import boxes as box_ops
+
+    boxes = np.concatenate(cand_boxes, 1)
+    scores = np.concatenate(cand_scores, 1).astype(np.float32)
+    classes = np.concatenate(cand_classes, 1).astype(np.int32)
+    boxes = np.asarray(
+        box_ops.clip(jnp.asarray(boxes, jnp.float32), images.image_sizes[:, 0:1], images.image_sizes[:, 1:2])
+    )
+    valid = (scores > conf.conf_thresh) & np.asarray(
+        box_ops.nonempty(jnp.asarray(boxes))
+    )
+    db, ds, dc, ok = multiclass_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        conf.nms_thresh, conf.detections_per_image, jnp.asarray(valid), impl="xla",
+    )
+
+    dets = model.apply(params, images)
+    np.testing.assert_allclose(
+        np.asarray(dets.boxes), np.asarray(db), rtol=1e-5, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(dets.scores), np.asarray(ds), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(dets.classes), np.asarray(dc))
