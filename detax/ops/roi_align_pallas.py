@@ -543,13 +543,15 @@ def _kernel_factory_packed_q8(
 
     Numerics: M entries are pooled bilinear weight products in [0, 1],
     quantized with fixed scale 127 (step 1/127 ≈ 2× the bf16 ulp at 1.0);
-    features use per-(level, channel) amax/127 scales.  Dequantization is a
-    single per-lane multiply folded into the f32 output
-    (``out = (Mq @ Wq) · s_lane/127``), selected per box from an (8, 128)
-    level table.  Exactness of the selector-dot weight expansion is
-    unchanged.  Quality is measured end-to-end as ΔmAP (scripts/eval_dmap.py
-    profile ``serving_fast_q8``) — this is a serving lever, opt-in via
-    ``ROIPoolerConf.impl = "pallas_q8"``, never the parity default.
+    features use per-(image, level, channel) amax/127 scales (per-image so
+    one image's outputs never depend on which other images share its
+    batch).  Dequantization is a single per-lane multiply folded into the
+    f32 output (``out = (Mq @ Wq) · s_lane/127``), selected per box by its
+    (image, level) segment key from the dequant table.  Exactness of the
+    selector-dot weight expansion is unchanged.  Quality is measured
+    end-to-end as ΔmAP (scripts/eval_dmap.py profile ``serving_fast_q8``) —
+    this is a serving lever, opt-in via ``ROIPoolerConf.impl =
+    "pallas_q8"``, never the parity default.
     """
     rows = ph_pad * pw
     pitch = -(-rows // 32) * 32  # int8 sublane tile is 32: align each half
@@ -624,10 +626,8 @@ def _kernel_factory_packed_q8(
             # (2·pitch, 128) int32: rows [0,rows) parity-0, [pitch,pitch+rows)
             # parity-1; the inter-half pad rows hold stale-M garbage, unused
             o = o2[:rows] + pltpu.roll(o2[pitch:pitch + rows], 64, axis=1)
-            lvl = ints_ref[j, 3]
-            sel = jnp.zeros((1, o.shape[1]), jnp.float32)
-            for l in range(num_levels):
-                sel = sel + jnp.where(lvl == l, 1.0, 0.0) * dq_ref[l:l + 1, :]
+            # dequant row = the box's (image, level) segment key
+            sel = dq_ref[pl.ds(ints_ref[j, 4], 1), :]
             out = o.astype(jnp.float32) * sel
             out_ref[pl.ds(j * rows, rows), :] = out[:, :c_out].astype(out_dtype)
 
@@ -1036,22 +1036,33 @@ def multiscale_roi_align_pallas(
     quantize = quantize and use_packed and not is_f32
     dq_tab = None
     if quantize:
-        # symmetric per-(level, channel) int8: the packed lane layout is
-        # (parity·64 + channel), so the amax — and therefore the scale —
-        # must agree across the two parity lanes of a channel for the
-        # kernel's post-roll sum to dequantize with one per-lane multiply
+        # symmetric per-(IMAGE, level, channel) int8: per-image amax keeps
+        # each image's quantization independent of which other images share
+        # its serving batch (a whole-batch amax made outputs depend on batch
+        # composition). The packed lane layout is (parity·64 + channel), so
+        # the amax — and therefore the scale — must agree across the two
+        # parity lanes of a channel for the kernel's post-roll sum to
+        # dequantize with one per-lane multiply.
         qfeats, dq_rows = [], []
         for f in feats:
-            a = jnp.max(jnp.abs(f.astype(jnp.float32)), axis=(0, 1, 2))  # (128,)
-            ach = jnp.maximum(jnp.maximum(a[:64], a[64:]), 1e-8)
-            s_lane = jnp.concatenate([ach, ach]) * (1.0 / 127.0)
+            a = jnp.max(jnp.abs(f.astype(jnp.float32)), axis=(1, 2))  # (B, 128)
+            ach = jnp.maximum(jnp.maximum(a[:, :64], a[:, 64:]), 1e-8)
+            s_lane = jnp.concatenate([ach, ach], axis=1) * (1.0 / 127.0)
             qfeats.append(
-                jnp.clip(jnp.round(f.astype(jnp.float32) / s_lane), -127, 127)
-                .astype(jnp.int8)
+                jnp.clip(
+                    jnp.round(f.astype(jnp.float32) / s_lane[:, None, None, :]),
+                    -127,
+                    127,
+                ).astype(jnp.int8)
             )
-            dq_rows.append(s_lane * (1.0 / 127.0))  # M carries its own 1/127
+            dq_rows.append(s_lane * (1.0 / 127.0))  # (B, 128); M has its own 1/127
         feats = qfeats
-        dq_tab = jnp.pad(jnp.stack(dq_rows), ((0, 8 - num_levels), (0, 0)))
+        # row (img·num_levels + level) == the box's seg_key — the kernel
+        # selects its dequant row with one dynamic read
+        dq_tab = jnp.stack(dq_rows, axis=1).reshape(b * num_levels, 128)
+        pad_rows = -(-dq_tab.shape[0] // 8) * 8 - dq_tab.shape[0]
+        if pad_rows:
+            dq_tab = jnp.pad(dq_tab, ((0, pad_rows), (0, 0)))
 
     # program size (also needed for the v8 per-image box padding below):
     # fp32 (parity path) uses double the bytes everywhere — halve it so the
@@ -1287,7 +1298,9 @@ def multiscale_roi_align_pallas(
                 pltpu.VMEM((p * 2 * rows, _WIN_YP * WIN_X), m_dt),
                 pltpu.SemaphoreType.DMA((p,)),
             ]
-        dq_specs = [pl.BlockSpec((8, 128), lambda i: (0, 0))] if quantize else []
+        dq_specs = (
+            [pl.BlockSpec(dq_tab.shape, lambda i: (0, 0))] if quantize else []
+        )
         dq_args = (dq_tab,) if quantize else ()
         cparams = (
             pltpu.CompilerParams(vmem_limit_bytes=V8_VMEM_LIMIT) if use_v8 else None

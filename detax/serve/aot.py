@@ -26,6 +26,33 @@ from typing import Any, Callable, Optional
 import jax
 
 
+_CODE_SIG: Optional[str] = None
+
+
+def _code_fingerprint() -> str:
+    """Digest of the detax package source — makes cache keys CODE-sensitive
+    without tracing/lowering anything: a kernel or model change with an
+    identical config and shapes must miss the cache (observed live: a
+    pooler-kernel change silently reloaded the stale executable). Hashing
+    the sources costs ~50 ms once per process vs seconds of jit tracing
+    per bucket per start."""
+    global _CODE_SIG
+    if _CODE_SIG is None:
+        import detax
+
+        root = os.path.dirname(os.path.abspath(detax.__file__))
+        h = hashlib.sha256()
+        for dirpath, _, names in sorted(os.walk(root)):
+            for name in sorted(names):
+                if name.endswith((".py", ".cpp", ".so")):
+                    p = os.path.join(dirpath, name)
+                    h.update(p.encode())
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+        _CODE_SIG = h.hexdigest()[:16]
+    return _CODE_SIG
+
+
 def fingerprint(conf_json: str, shapes_sig: str) -> str:
     """Stable cache key for one compiled program."""
     dev = jax.devices()[0]
@@ -34,6 +61,7 @@ def fingerprint(conf_json: str, shapes_sig: str) -> str:
         dev.platform,
         getattr(dev, "device_kind", "?"),
         str(jax.device_count()),
+        _code_fingerprint(),
         conf_json,
         shapes_sig,
     ]
@@ -95,18 +123,14 @@ def compile_or_load(
     shapes_sig = ",".join(
         f"{x.dtype}{tuple(x.shape)}" for x in jax.tree_util.tree_leaves(example_args)
     )
-    # the key must be CODE-sensitive, not just config-sensitive: a kernel or
-    # model change with identical config/shapes must miss the cache. Tracing
-    # + lowering is cheap (seconds) next to compiling (minutes), so hash the
-    # lowered program text into the key.
-    lowered = jax.jit(fn).lower(*example_args)
-    code_sig = hashlib.sha256(lowered.as_text().encode()).hexdigest()[:16]
-    key = fingerprint(conf_json + "|" + code_sig, shapes_sig)
+    # fingerprint() folds in a detax source digest, so code changes miss
+    # the cache WITHOUT paying a per-start trace+lower of the full model
+    key = fingerprint(conf_json, shapes_sig)
     if cache_dir:
         loaded = load_compiled(cache_dir, key)
         if loaded is not None:
             return loaded, "aot"
-    compiled = lowered.compile()
+    compiled = jax.jit(fn).lower(*example_args).compile()
     if cache_dir:
         save_compiled(cache_dir, key, compiled)
     return compiled, "compiled"

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 PROFILES = (
     "exact", "approx_topk", "recall08", "pallas_nms", "pallas_pool", "pallas_pool_r2",
-    "serving", "serving_r2", "serving_fast", "serving_fast_p256",
+    "serving", "serving_r2", "serving_fast", "serving_fast_p256", "serving_fast_q8",
 )
 
 
@@ -63,17 +63,22 @@ def build_frcnn_conf(size: int, num_classes: int, profile: str, base=None):
                 box_pooler=base.roi.box_pooler.replace(sampling_ratio=r, impl="pallas")
             )
         )
-    if profile in ("serving", "serving_r2", "serving_fast", "serving_fast_p256"):
+    if profile in (
+        "serving", "serving_r2", "serving_fast", "serving_fast_p256", "serving_fast_q8"
+    ):
         r = 1 if profile == "serving" else 2
         # serving_fast adds the round-3 candidate-count levers: 512/level
         # pre-NMS (halves the per-level suppression blocks) and a 512
         # final-NMS candidate cap — each ~-4..5 ms at b128/640².
         # serving_fast_p256 additionally drops post-NMS proposals 300→256
-        # (the ROI stage scales with the box count).
+        # (the ROI stage scales with the box count). serving_fast_q8 is
+        # p256 with the int8 pooler (impl="pallas_q8") — the dmAP harness
+        # for the quantized-window lever.
         fast = profile.startswith("serving_fast")
         pre_k = 512 if fast else 1000
         cand = 512 if fast else base.roi.pre_nms_candidates
-        post_k = 256 if profile == "serving_fast_p256" else 300
+        post_k = 300 if profile in ("serving", "serving_r2", "serving_fast") else 256
+        pool_impl = "pallas_q8" if profile == "serving_fast_q8" else "pallas"
         return base.replace(
             rpn=base.rpn.replace(
                 pre_nms_topk=(2000, pre_k), post_nms_topk=(2000, post_k),
@@ -81,7 +86,9 @@ def build_frcnn_conf(size: int, num_classes: int, profile: str, base=None):
             ),
             roi=base.roi.replace(
                 nms_impl="pallas", topk_impl="approx", pre_nms_candidates=cand,
-                box_pooler=base.roi.box_pooler.replace(sampling_ratio=r, impl="pallas"),
+                box_pooler=base.roi.box_pooler.replace(
+                    sampling_ratio=r, impl=pool_impl
+                ),
             ),
         )
     raise ValueError(f"unknown profile {profile!r}")

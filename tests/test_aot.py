@@ -71,21 +71,23 @@ def test_corrupt_cache_entry_recompiles(tmp_path, example):
     )
 
 
-def test_code_change_is_a_miss(tmp_path, example):
-    # same config string, same shapes, DIFFERENT code must miss: before
-    # round-3's code-sensitive key a kernel/model change silently reloaded
-    # the stale pre-change executable (observed live with the v8 pooler).
+def test_code_change_is_a_miss(tmp_path, example, monkeypatch):
+    # same config string, same shapes, DIFFERENT detax sources must miss:
+    # before round-3's code-sensitive key a kernel/model change silently
+    # reloaded the stale pre-change executable (observed live with the v8
+    # pooler). The key folds in a package-source digest (computed once per
+    # process, no per-start tracing) — simulate an edit by forcing it.
     p, x = example
     cache = str(tmp_path)
     _, how1 = aot.compile_or_load(cache, "conf-A", _fn, p, x)
     assert how1 == "compiled"
+    _, how1b = aot.compile_or_load(cache, "conf-A", _fn, p, x)
+    assert how1b == "aot"
 
-    def fn2(p, x):
-        return jnp.tanh(x @ p["w"]) - p["b"]  # sign flip: new program
-
-    exe2, how2 = aot.compile_or_load(cache, "conf-A", fn2, p, x)
-    assert how2 == "compiled", "changed code with identical conf must recompile"
+    monkeypatch.setattr(aot, "_CODE_SIG", "deadbeefdeadbeef")
+    exe2, how2 = aot.compile_or_load(cache, "conf-A", _fn, p, x)
+    assert how2 == "compiled", "changed sources with identical conf must recompile"
     np.testing.assert_allclose(
-        np.asarray(exe2(p, x)), np.tanh(np.asarray(x) @ np.asarray(p["w"])) - 1.0,
+        np.asarray(exe2(p, x)), np.tanh(np.asarray(x) @ np.asarray(p["w"])) + 1.0,
         rtol=1e-6,
     )
