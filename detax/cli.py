@@ -78,12 +78,13 @@ def cmd_train(args: argparse.Namespace) -> None:
     else:
         dataset = SyntheticCOCO(
             num_images=args.synthetic_images, image_size=args.image_size,
-            num_classes=args.num_classes,
+            num_classes=args.num_classes, cache=True,
         )
     batches = prefetch_batches(
         make_batches(
             dataset, args.batch, PreprocessConf(image_size=args.image_size),
             max_gt_boxes=conf.max_gt_boxes, rect_masks=args.masks,
+            device_normalize=args.feed == "device",
         )
     )
 
@@ -240,6 +241,12 @@ def main() -> None:
     t.add_argument("--no-augment", action="store_true")
     t.add_argument("--eval-images", type=int, default=0, help="run mAP eval on this many held-out images after training")
     t.add_argument("--masks", action="store_true", help="Mask R-CNN mode (instance masks; synthetic data uses exact box masks)")
+    t.add_argument(
+        "--feed", choices=["device", "host"], default="device",
+        help="'device' ships uint8 canvases and normalizes inside the jitted "
+        "step (fast feed; bit-identical for canvas-size sources); 'host' is "
+        "the numpy-normalized float path",
+    )
     t.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("serve", help="batched TPU inference server")

@@ -122,6 +122,32 @@ def letterbox_batch_varsize(pixels: Array, sizes: Array, conf: PreprocessConf) -
     return ImageBatch(pixels=out, image_sizes=out_sizes, scales=scales)
 
 
+def normalize_canvas(images: ImageBatch, conf: PreprocessConf) -> ImageBatch:
+    """Normalize an already-letterboxed uint8 canvas batch on device.
+
+    The device half of the fast training feed: the host ships raw uint8
+    canvases (pure memcpy — resize, when needed, was done by the native
+    loader or at dataset-build time) and this fuses cast + ``(x-mean)/std``
+    + zero-padding outside each image's valid region into the train step.
+    Output matches :func:`letterbox_batch`'s pixel contract bit-for-bit for
+    same-size sources (both are elementwise f32 ``(x - mean) / std``).
+    """
+    x = images.pixels.astype(jnp.float32)
+    mean = jnp.asarray(conf.pixel_mean, jnp.float32)
+    std = jnp.asarray(conf.pixel_std, jnp.float32)
+    x = (x - mean) / std
+    b, h, w, _ = x.shape
+    yy = jnp.arange(h, dtype=jnp.float32)[None, :, None, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, None, :, None]
+    valid = (yy < images.image_sizes[:, 0, None, None, None]) & (
+        xx < images.image_sizes[:, 1, None, None, None]
+    )
+    x = jnp.where(valid, x, 0.0)
+    if conf.out_dtype:
+        x = x.astype(conf.out_dtype)
+    return ImageBatch(pixels=x, image_sizes=images.image_sizes, scales=images.scales)
+
+
 def classification_preprocess(pixels: Array, conf: PreprocessConf, crop: int = 224) -> Array:
     """ImageNet eval transform parity (reference ``imagenet.py:5-17``):
     resize shorter side to 256 → center crop ``crop`` → normalize. Static

@@ -61,20 +61,34 @@ def synthesize_detection_image(
 
 
 class SyntheticCOCO:
-    """Infinite synthetic detection dataset with a fixed number of base images."""
+    """Infinite synthetic detection dataset with a fixed number of base images.
 
-    def __init__(self, num_images: int = 256, image_size: int = 640, num_classes: int = 80, seed: int = 0):
+    ``cache=True`` memoizes generated items (uint8 + GT): epoch 2+ costs a
+    dict lookup instead of regenerating ~1.2 MB of random pixels per image —
+    the synthesis itself is the dominant host cost of the training feed.
+    """
+
+    def __init__(
+        self, num_images: int = 256, image_size: int = 640, num_classes: int = 80,
+        seed: int = 0, cache: bool = False,
+    ):
         self.num_images = num_images
         self.image_size = image_size
         self.num_classes = num_classes
         self.seed = seed
+        self._cache: Optional[Dict[int, tuple]] = {} if cache else None
 
     def __len__(self) -> int:
         return self.num_images
 
     def get(self, index: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self._cache is not None and index in self._cache:
+            return self._cache[index]
         rng = np.random.RandomState(self.seed * 100003 + index)
-        return synthesize_detection_image(rng, self.image_size, self.num_classes)
+        item = synthesize_detection_image(rng, self.image_size, self.num_classes)
+        if self._cache is not None:
+            self._cache[index] = item
+        return item
 
 
 class COCOReader:
@@ -144,12 +158,20 @@ def make_batches(
     seed: int = 0,
     epochs: Optional[int] = None,
     rect_masks: bool = False,
+    device_normalize: bool = False,
 ) -> Iterator[Tuple[ImageBatch, GroundTruth]]:
     """Host-side batcher: letterbox to the static canvas, pad GT.
 
     Letterboxing happens here in numpy (the on-device fused path in
     ``detax.ops.preprocess`` is used when images share one source shape, as
     in serving); GT boxes are scaled into canvas coordinates.
+
+    ``device_normalize=True`` is the fast feed: the canvas ships as raw
+    uint8 (host work = memcpy; resize stays host-side but skips the float
+    normalize and the 4× larger f32 transfer) and the train step applies
+    :func:`detax.ops.preprocess.normalize_canvas` on device. For sources
+    already at canvas scale (the synthetic set) the pixel values are
+    bit-identical to the host-normalized path.
     """
     import jax.numpy as jnp
 
@@ -163,7 +185,8 @@ def make_batches(
         order = rng.permutation(n)
         for start in range(0, n - batch_size + 1, batch_size):
             idxs = order[start : start + batch_size]
-            pixels = np.zeros((batch_size, size, size, 3), np.float32)
+            pix_dtype = np.uint8 if device_normalize else np.float32
+            pixels = np.zeros((batch_size, size, size, 3), pix_dtype)
             sizes = np.zeros((batch_size, 2), np.float32)
             scales = np.zeros((batch_size,), np.float32)
             boxes_list, classes_list = [], []
@@ -174,7 +197,10 @@ def make_batches(
                 nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
                 if (nh, nw) != (h0, w0):
                     img = _resize_bilinear(img.astype(np.float32), nh, nw)
-                pixels[bi, :nh, :nw] = (img - mean) / std
+                if device_normalize:
+                    pixels[bi, :nh, :nw] = img  # uint8 memcpy (or rounded resize)
+                else:
+                    pixels[bi, :nh, :nw] = (img - mean) / std
                 sizes[bi] = (nh, nw)
                 scales[bi] = scale
                 boxes_list.append(boxes * scale)

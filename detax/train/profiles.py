@@ -192,6 +192,98 @@ def eval_retina_profile(
     return ev.summarize()
 
 
+YOLO_PROFILES = ("exact", "k512", "k256", "k128", "pallas_nms", "serving")
+
+
+def build_yolo_conf(size: int, num_classes: int, profile: str, base=None):
+    """YOLO conf under a named inference profile. ``exact`` = 1000
+    candidates/level + XLA NMS (the parity-oracle path); ``kN`` cuts the
+    per-level pre-NMS candidate count (the post-select-before-decode lever:
+    the final class-aware NMS over 3×k global candidates is YOLO's largest
+    remaining stage); ``serving`` = the bench.py lever set."""
+    from detax.configs import PreprocessConf
+    from detax.configs.yolo import YOLOConf
+
+    if base is None:
+        base = YOLOConf(preprocess=PreprocessConf(image_size=size))
+    base = base.replace(num_classes=num_classes)
+    if profile == "exact":
+        return base
+    if profile in ("k512", "k256", "k128"):
+        return base.replace(topk_candidates=int(profile[1:]))
+    if profile == "pallas_nms":
+        return base.replace(nms_impl="pallas")
+    if profile == "serving":
+        return base.replace(topk_candidates=256, nms_impl="pallas")
+    raise ValueError(f"unknown yolo profile {profile!r}")
+
+
+def train_yolo(
+    size: int,
+    num_classes: int,
+    steps: int,
+    batch: int,
+    seed: int = 0,
+    base_conf=None,
+    num_images: int = 256,
+    log_every: int = 50,
+):
+    """Train the exact-profile YOLO on synthetic COCO-style data."""
+    import time
+
+    from detax.models import YOLO
+    from detax.train.coco import SyntheticCOCO, make_batches, prefetch_batches
+    from detax.train.step import make_train_step
+    from detax.train.train_state import create_train_state
+
+    conf = build_yolo_conf(size, num_classes, "exact", base=base_conf)
+    model = YOLO(conf=conf, dtype=jnp.bfloat16)
+    ds = SyntheticCOCO(num_images=num_images, image_size=size, num_classes=num_classes, seed=seed)
+    batches = prefetch_batches(
+        make_batches(ds, batch, conf.preprocess, max_gt_boxes=conf.max_gt_boxes)
+    )
+    images0, gt0 = next(batches)
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), images0)
+    state, tx = create_train_state(params, rng=jax.random.PRNGKey(seed))
+    step_fn = make_train_step(model, tx)
+    t0 = time.time()
+    for i in range(steps):
+        images, gt = (images0, gt0) if i == 0 else next(batches)
+        state, metrics = step_fn(state, images, gt)
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            loss = float(jax.device_get(metrics["total_loss"]))
+            print(f"  step {i}: loss={loss:.3f} ({time.time()-t0:.0f}s)", flush=True)
+    return jax.device_get(state.params), conf
+
+
+def eval_yolo_profile(
+    params,
+    size: int,
+    num_classes: int,
+    profile: str,
+    eval_images: int,
+    batch: int,
+    seed: int = 1,
+    base_conf=None,
+):
+    """mAP of one YOLO checkpoint under one inference profile."""
+    from detax.evaluate import DetectionEvaluator
+    from detax.models import YOLO
+    from detax.train.coco import SyntheticCOCO, make_batches
+
+    conf = build_yolo_conf(size, num_classes, profile, base=base_conf)
+    model = YOLO(conf=conf, dtype=jnp.bfloat16)
+    fwd = jax.jit(lambda p, im: model.apply(p, im))
+    ds = SyntheticCOCO(num_images=eval_images, image_size=size, num_classes=num_classes, seed=seed)
+    ev = DetectionEvaluator(num_classes)
+    for images, gt in make_batches(
+        ds, batch, conf.preprocess, max_gt_boxes=conf.max_gt_boxes, epochs=1, seed=seed
+    ):
+        dets = fwd(params, images)
+        ev.add_batch(jax.device_get(dets), jax.device_get(gt))
+    return ev.summarize()
+
+
 def train_flagship(
     size: int,
     num_classes: int,

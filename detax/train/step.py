@@ -35,10 +35,16 @@ def make_train_step(
     """Build the jitted train step for any detax model exposing
     ``train_forward(images, gt) -> (losses, metrics)``.
 
-    Returns ``step(state, images, gt) -> (state, metrics)``.
+    Returns ``step(state, images, gt) -> (state, metrics)``. When the batch
+    arrives as raw uint8 canvases (the fast feed — ``make_batches(...,
+    device_normalize=True)``), normalization fuses into the step on device.
     """
 
     def step(state: TrainState, images: ImageBatch, gt: GroundTruth):
+        if images.pixels.dtype == jnp.uint8:
+            from detax.ops.preprocess import normalize_canvas
+
+            images = normalize_canvas(images, model.conf.preprocess)
         rng, aug_key, sample_key = jax.random.split(state.rng, 3)
         if augment:
             images_in, gt_in = augment_batch(aug_key, images, gt)

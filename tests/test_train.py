@@ -118,3 +118,47 @@ def test_checkpoint_roundtrip(tmp_path):
     best = mgr.restore_best(template)
     np.testing.assert_allclose(np.asarray(best.params["w"]), np.arange(4))
     mgr.close()
+
+
+def test_device_normalize_feed_matches_host_feed():
+    """Fast feed (uint8 canvas + on-device normalize_canvas) must produce the
+    same pixels/step result as the host-normalized float path."""
+    from detax.configs import FasterRCNNConf
+    from detax.models import FasterRCNN
+    from detax.ops.preprocess import normalize_canvas
+    from detax.train.step import make_train_step
+
+    pp = PreprocessConf(image_size=64)
+    ds = SyntheticCOCO(num_images=8, image_size=64, num_classes=5, cache=True)
+    host = next(make_batches(ds, 4, pp, max_gt_boxes=8, epochs=1))
+    dev = next(make_batches(ds, 4, pp, max_gt_boxes=8, epochs=1, device_normalize=True))
+    assert dev[0].pixels.dtype == jnp.uint8
+    normed = normalize_canvas(dev[0], pp)
+    np.testing.assert_allclose(
+        np.asarray(normed.pixels), np.asarray(host[0].pixels), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(dev[1].boxes), np.asarray(host[1].boxes))
+
+    # one full train step through each feed: identical loss
+    conf = FasterRCNNConf(preprocess=pp)
+    conf = conf.replace(roi=conf.roi.replace(num_classes=5))
+    model = FasterRCNN(conf=conf)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), host[0])
+    state, tx = create_train_state(params, learning_rate=0.01, rng=jax.random.PRNGKey(1))
+    step = make_train_step(model, tx, augment=True, donate=False)
+    _, m_host = step(state, *host)
+    _, m_dev = step(state, *dev)
+    np.testing.assert_allclose(
+        float(m_dev["total_loss"]), float(m_host["total_loss"]), rtol=1e-5
+    )
+
+
+def test_synthetic_cache_consistent():
+    ds = SyntheticCOCO(num_images=4, image_size=32, num_classes=3, cache=True)
+    ref = SyntheticCOCO(num_images=4, image_size=32, num_classes=3)
+    a1 = ds.get(2)
+    a2 = ds.get(2)  # cache hit
+    b = ref.get(2)
+    assert a1[0] is a2[0]
+    np.testing.assert_array_equal(a1[0], b[0])
+    np.testing.assert_array_equal(a1[1], b[1])
