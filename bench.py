@@ -62,7 +62,14 @@ def _build(which: str):
         )
         return RetinaNet(conf=conf, dtype=jnp.bfloat16), "RetinaNet R50-FPN"
     if which == "yolo":
-        conf = YOLOConf(preprocess=PreprocessConf(image_size=SIZE), nms_impl="pallas")
+        # 256 candidates/level: dmAP-measured free down to k128 on a trained
+        # checkpoint (artifacts/dmap_yolo_r3.json, every lever +-0.000x);
+        # the final class-aware NMS over 3*k global candidates was YOLO's
+        # largest remaining stage (9.9 ms at k=1000).
+        conf = YOLOConf(
+            preprocess=PreprocessConf(image_size=SIZE),
+            nms_impl="pallas", topk_candidates=256,
+        )
         return YOLO(conf=conf, dtype=jnp.bfloat16), "YOLO R18 3-stride"
     if which == "mask":
         # Mask R-CNN mode: the flagship serving profile + the 14x14 mask

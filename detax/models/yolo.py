@@ -7,9 +7,14 @@ of the ResNet backbone, with static-shape training assignment:
   wh-prior with best IoU against the GT's size, at the GT's center cell —
   scattered into fixed per-level target grids with ``.at[].set`` (the
   TPU-friendly replacement for the usual host-side target builder);
-- objectness targets at unassigned anchors are ignored when their predicted
-  box overlaps any GT above ``nms_thresh`` (the v3 "ignore" rule) — detax
-  approximates with anchor-prior IoU which is static and cheap.
+- the v3 "ignore" rule: unassigned anchors sharing a cell with any valid
+  GT center (at any level) are excluded from the background-objectness
+  term — static and scatter-cheap, it removes the contradictory push-down
+  next to every positive;
+- the objectness BCE is normalized in two parts: positives by the assigned
+  count, background by total anchor slots (a single all-anchors average
+  dilutes the ~2-3 positives per image to nothing — measured: the head
+  collapses to background and no score clears ``conf_thresh``).
 
 Inference: per level top-K by combined obj·cls score → decode → class-aware
 NMS (the per-level Pallas NMS path once ``detax.ops.nms_pallas`` lands).
@@ -159,9 +164,14 @@ class YOLO(nn.Module):
             rr = h * w * a
             total_anchors += rr
 
-            # scatter per image: obj target, box targets, class target
-            def per_image(flat_i, on_i, boxes_i, cls_i, best_anchor_i):
+            # scatter per image: obj target, box targets, class target,
+            # and the ignore mask (every prior at a valid GT's center cell)
+            def per_image(flat_i, on_i, boxes_i, cls_i, best_anchor_i, valid_i):
                 tobj = jnp.zeros((rr,), jnp.float32).at[flat_i].max(on_i.astype(jnp.float32))
+                cell_base = (flat_i // a) * a
+                tign = jnp.zeros((rr,), jnp.float32)
+                for j in range(a):
+                    tign = tign.at[cell_base + j].max(valid_i.astype(jnp.float32))
                 gw = boxes_i[:, 2] - boxes_i[:, 0]
                 gh = boxes_i[:, 3] - boxes_i[:, 1]
                 gcx = (boxes_i[:, 0] + boxes_i[:, 2]) / 2
@@ -178,28 +188,41 @@ class YOLO(nn.Module):
                 )
                 tcls = jnp.zeros((rr,), jnp.int32).at[flat_i].set(cls_i * on_i)
                 tmask = jnp.zeros((rr,), bool).at[flat_i].max(on_i)
-                return tobj, tbox, tcls, tmask
+                return tobj, tbox, tcls, tmask, tign
 
-            tobj, tbox, tcls, tmask = jax.vmap(per_image)(
-                flat, on_lvl, gt.boxes, gt.classes, best_anchor
+            tobj, tbox, tcls, tmask, tign = jax.vmap(per_image)(
+                flat, on_lvl, gt.boxes, gt.classes, best_anchor, gt.valid
             )
             tobj = jax.lax.stop_gradient(tobj)
             tbox = jax.lax.stop_gradient(tbox)
             tmask = jax.lax.stop_gradient(tmask)
+            tign = jax.lax.stop_gradient(tign)
 
             pred_txy = jax.nn.sigmoid(r[..., 0:2])
             pred_twh = r[..., 2:4]
             pred = jnp.concatenate([pred_txy, pred_twh], axis=-1)
             losses_box.append(jnp.sum(((pred - tbox) ** 2) * tmask[..., None]))
-            losses_obj.append(jnp.sum(bce_with_logits(r[..., 4], tobj)))
+            # obj BCE split: the positive term is normalized by the positive
+            # count (below), the background term by total anchor slots —
+            # averaging both over all ~H*W*A anchors dilutes the ~2-3
+            # positives per image to nothing and the objectness head
+            # collapses to background (measured: 600 synthetic steps left
+            # every score under conf_thresh on strides 8/16).
+            bce = bce_with_logits(r[..., 4], tobj)
+            pos = tmask.astype(jnp.float32)
+            neg = (1.0 - pos) * (1.0 - tign)  # ignore rule: GT-center cells
+            losses_obj.append((jnp.sum(bce * pos), jnp.sum(bce * neg)))
             onehot = jax.nn.one_hot(tcls, c.num_classes, dtype=jnp.float32)
             losses_cls.append(jnp.sum(bce_with_logits(r[..., 5:], onehot) * tmask[..., None]))
 
         n = jnp.maximum(num_assigned.astype(jnp.float32), 1.0)
         num_images = images.pixels.shape[0]
+        obj_pos = sum(p for p, _ in losses_obj)
+        obj_neg = sum(g for _, g in losses_obj)
         losses = {
-            # obj BCE averaged over every anchor slot (it covers bg + fg)
-            "loss_obj": sum(losses_obj) / (num_images * total_anchors) * c.obj_loss_weight,
+            # positive-obj term per assigned anchor, background term per slot
+            "loss_obj": (obj_pos / n + obj_neg / (num_images * total_anchors))
+            * c.obj_loss_weight,
             "loss_box_reg": sum(losses_box) / n * c.box_loss_weight,
             "loss_cls": sum(losses_cls) / n * c.cls_loss_weight,
         }
