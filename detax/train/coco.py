@@ -70,12 +70,13 @@ class SyntheticCOCO:
 
     def __init__(
         self, num_images: int = 256, image_size: int = 640, num_classes: int = 80,
-        seed: int = 0, cache: bool = False,
+        seed: int = 0, cache: bool = False, max_objects: int = 8,
     ):
         self.num_images = num_images
         self.image_size = image_size
         self.num_classes = num_classes
         self.seed = seed
+        self.max_objects = max_objects
         self._cache: Optional[Dict[int, tuple]] = {} if cache else None
 
     def __len__(self) -> int:
@@ -85,7 +86,9 @@ class SyntheticCOCO:
         if self._cache is not None and index in self._cache:
             return self._cache[index]
         rng = np.random.RandomState(self.seed * 100003 + index)
-        item = synthesize_detection_image(rng, self.image_size, self.num_classes)
+        item = synthesize_detection_image(
+            rng, self.image_size, self.num_classes, max_objects=self.max_objects
+        )
         if self._cache is not None:
             self._cache[index] = item
         return item

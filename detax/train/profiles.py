@@ -24,6 +24,7 @@ import jax.numpy as jnp
 PROFILES = (
     "exact", "approx_topk", "recall08", "pallas_nms", "pallas_pool", "pallas_pool_r2",
     "serving", "serving_r2", "serving_fast", "serving_fast_p256", "serving_fast_q8",
+    "serving_fast_p192", "serving_fast_p128",
 )
 
 
@@ -64,20 +65,24 @@ def build_frcnn_conf(size: int, num_classes: int, profile: str, base=None):
             )
         )
     if profile in (
-        "serving", "serving_r2", "serving_fast", "serving_fast_p256", "serving_fast_q8"
+        "serving", "serving_r2", "serving_fast", "serving_fast_p256", "serving_fast_q8",
+        "serving_fast_p192", "serving_fast_p128",
     ):
         r = 1 if profile == "serving" else 2
         # serving_fast adds the round-3 candidate-count levers: 512/level
         # pre-NMS (halves the per-level suppression blocks) and a 512
         # final-NMS candidate cap — each ~-4..5 ms at b128/640².
         # serving_fast_p256 additionally drops post-NMS proposals 300→256
-        # (the ROI stage scales with the box count). serving_fast_q8 is
-        # p256 with the int8 pooler (impl="pallas_q8") — the dmAP harness
-        # for the quantized-window lever.
+        # (the ROI stage scales with the box count); p192/p128 price the
+        # deeper cuts. serving_fast_q8 is p256 with the int8 pooler
+        # (impl="pallas_q8") — the dmAP harness for the quantized-window
+        # lever.
         fast = profile.startswith("serving_fast")
         pre_k = 512 if fast else 1000
         cand = 512 if fast else base.roi.pre_nms_candidates
-        post_k = 300 if profile in ("serving", "serving_r2", "serving_fast") else 256
+        post_k = {
+            "serving_fast_p192": 192, "serving_fast_p128": 128,
+        }.get(profile, 300 if profile in ("serving", "serving_r2", "serving_fast") else 256)
         pool_impl = "pallas_q8" if profile == "serving_fast_q8" else "pallas"
         return base.replace(
             rpn=base.rpn.replace(
@@ -332,8 +337,13 @@ def eval_profile(
     batch: int,
     seed: int = 1,
     base_conf=None,
+    max_objects: int = 8,
 ):
-    """mAP of one checkpoint under one profile on held-out synthetic data."""
+    """mAP of one checkpoint under one profile on held-out synthetic data.
+
+    ``max_objects`` raises scene density — the honest stress for the
+    proposal-count levers (p256/p192/p128), whose failure mode is dropping
+    objects in crowded scenes."""
     from detax.evaluate import DetectionEvaluator
     from detax.models import FasterRCNN
     from detax.train.coco import SyntheticCOCO, make_batches
@@ -341,7 +351,10 @@ def eval_profile(
     conf = build_frcnn_conf(size, num_classes, profile, base=base_conf)
     model = FasterRCNN(conf=conf, dtype=jnp.bfloat16)
     fwd = jax.jit(lambda p, im: model.apply(p, im))
-    ds = SyntheticCOCO(num_images=eval_images, image_size=size, num_classes=num_classes, seed=seed)
+    ds = SyntheticCOCO(
+        num_images=eval_images, image_size=size, num_classes=num_classes, seed=seed,
+        max_objects=max_objects,
+    )
     ev = DetectionEvaluator(num_classes)
     for images, gt in make_batches(
         ds, batch, conf.preprocess, max_gt_boxes=conf.max_gt_boxes, epochs=1, seed=seed

@@ -42,13 +42,17 @@ def _tiny_base():
 
 @pytest.mark.slow
 def test_serving_profile_within_map_budget():
+    # 100 steps / 32 eval images: at 60 steps the checkpoint is weak enough
+    # that the gap between profiles is eval noise (measured swinging from
+    # +0.020 to -0.003 across seed-level perturbations); from ~100 steps the
+    # serving profile tracks exact within noise on this recipe
     params, _ = train_flagship(
-        SIZE, CLASSES, steps=60, batch=4, base_conf=_tiny_base(), num_images=64,
+        SIZE, CLASSES, steps=100, batch=4, base_conf=_tiny_base(), num_images=64,
         log_every=0,
     )
-    exact = eval_profile(params, SIZE, CLASSES, "exact", 24, 4, base_conf=_tiny_base())
+    exact = eval_profile(params, SIZE, CLASSES, "exact", 32, 4, base_conf=_tiny_base())
     serving = eval_profile(
-        params, SIZE, CLASSES, "serving_fast_p256", 24, 4, base_conf=_tiny_base()
+        params, SIZE, CLASSES, "serving_fast_p256", 32, 4, base_conf=_tiny_base()
     )
     assert exact["mAP"] > 0.05, f"checkpoint too weak to gate on ({exact})"
     assert serving["mAP"] >= exact["mAP"] - BUDGET, (
