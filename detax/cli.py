@@ -26,14 +26,44 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 
 def _build_model(
-    image_size: int, num_classes: int = 80, mask_on: bool = False, profile: str = "reference"
+    image_size: int, num_classes: int = 80, mask_on: bool = False,
+    profile: str = "reference", family: str = "frcnn",
 ):
+    """Build one model family under one profile.
+
+    ``family``: frcnn (flagship Faster/Mask R-CNN) | retinanet | yolo —
+    every family is trainable and servable through this one entry point.
+    ``profile='tpu'`` applies that family's measured serving levers (each
+    quantified as ΔmAP — scripts/eval_dmap*.py, artifacts/dmap_*_r3.json);
+    ``'reference'`` is the exact parity path."""
     import jax.numpy as jnp
 
-    from detax.configs import FasterRCNNConf, PreprocessConf
-    from detax.models import FasterRCNN
+    from detax.configs import FasterRCNNConf, PreprocessConf, RetinaNetConf, YOLOConf
+    from detax.models import FasterRCNN, RetinaNet, YOLO
 
-    conf = FasterRCNNConf(preprocess=PreprocessConf(image_size=image_size))
+    pre = PreprocessConf(image_size=image_size)
+    if family == "retinanet":
+        if mask_on:
+            raise ValueError("--masks is a Faster R-CNN (frcnn) option")
+        conf = RetinaNetConf(preprocess=pre, num_classes=num_classes)
+        if profile == "tpu":
+            # two-stage selection is candidate-set-faithful (ΔmAP +0.0000,
+            # artifacts/dmap_retinanet_r3.json); Pallas NMS exact
+            conf = conf.replace(topk_impl="two_stage", topk_recall=0.8, nms_impl="pallas")
+        return RetinaNet(conf=conf, dtype=jnp.bfloat16), conf
+    if family == "yolo":
+        if mask_on:
+            raise ValueError("--masks is a Faster R-CNN (frcnn) option")
+        conf = YOLOConf(preprocess=pre, num_classes=num_classes)
+        if profile == "tpu":
+            # 256 candidates/level + Pallas NMS: ±0.000x vs the
+            # 1000-candidate oracle (artifacts/dmap_yolo_r3.json)
+            conf = conf.replace(topk_candidates=256, nms_impl="pallas")
+        return YOLO(conf=conf, dtype=jnp.bfloat16), conf
+    if family != "frcnn":
+        raise ValueError(f"unknown model family {family!r}")
+
+    conf = FasterRCNNConf(preprocess=pre)
     if num_classes != conf.roi.num_classes or mask_on:
         conf = conf.replace(roi=conf.roi.replace(num_classes=num_classes, mask_on=mask_on))
     if profile == "tpu":
@@ -72,7 +102,9 @@ def cmd_train(args: argparse.Namespace) -> None:
     from detax.train.step import make_train_step
     from detax.train.train_state import create_train_state, make_optimizer, warmup_cosine_schedule
 
-    model, conf = _build_model(args.image_size, args.num_classes, mask_on=args.masks)
+    model, conf = _build_model(
+        args.image_size, args.num_classes, mask_on=args.masks, family=args.model
+    )
     if args.coco_json:
         dataset = COCOReader(args.coco_json, args.coco_images)
     else:
@@ -155,7 +187,9 @@ def cmd_serve(args: argparse.Namespace) -> None:
     from detax.serve.server import DetectionService, serve
     from detax.structures.image_batch import ImageBatch
 
-    model, conf = _build_model(args.image_size, args.num_classes, profile=args.profile)
+    model, conf = _build_model(
+        args.image_size, args.num_classes, profile=args.profile, family=args.model
+    )
     import jax.numpy as jnp
 
     from detax.serve import aot
@@ -195,7 +229,7 @@ def cmd_detect(args: argparse.Namespace) -> None:
 
     from detax.serve.server import DetectionService
 
-    model, conf = _build_model(args.image_size, args.num_classes)
+    model, conf = _build_model(args.image_size, args.num_classes, family=args.model)
     import jax.numpy as jnp
 
     from detax.structures.image_batch import ImageBatch
@@ -227,6 +261,7 @@ def main() -> None:
     sub = p.add_subparsers(dest="command", required=True)
 
     t = sub.add_parser("train", help="fine-tune on COCO-format or synthetic data")
+    t.add_argument("--model", choices=["frcnn", "retinanet", "yolo"], default="frcnn")
     t.add_argument("--steps", type=int, default=100)
     t.add_argument("--batch", type=int, default=8)
     t.add_argument("--lr", type=float, default=0.02)
@@ -250,6 +285,7 @@ def main() -> None:
     t.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("serve", help="batched TPU inference server")
+    s.add_argument("--model", choices=["frcnn", "retinanet", "yolo"], default="frcnn")
     s.add_argument("--port", type=int, default=8500)
     s.add_argument("--batch", type=int, default=8)
     s.add_argument("--batch-timeout-ms", type=float, default=5.0)
@@ -264,6 +300,7 @@ def main() -> None:
     s.set_defaults(fn=cmd_serve)
 
     d = sub.add_parser("detect", help="run detection on one image")
+    d.add_argument("--model", choices=["frcnn", "retinanet", "yolo"], default="frcnn")
     d.add_argument("image")
     d.add_argument("--image-size", type=int, default=640)
     d.add_argument("--num-classes", type=int, default=80)
