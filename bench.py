@@ -92,21 +92,21 @@ def _build(which: str):
         return FasterRCNN(conf=conf, dtype=jnp.bfloat16), "Mask R-CNN R18-FPN"
 
     # flagship TPU serving profile = the measured-quality-bounded lever set
-    # ("serving_fast_p192" in detax/train/profiles.py; ΔmAP vs the exact
-    # parity oracle on a trained checkpoint — scripts/eval_dmap.py, r3:
-    # approx top-k / recall-0.8 / Pallas NMS each ≤0.001, serving_fast
-    # combo +0.0054, p256 +0.0043, p192 +0.0004; on the DENSE stress set
-    # (32 objects/image, the lever's failure mode) p256 -0.0050,
-    # p192 -0.0063, p128 -0.0088 — artifacts/dmap_dense_r3.json):
-    # Pallas NMS, Pallas image-resident ROIAlign at sampling_ratio 2 (free
-    # in the kernel: bilinear weights are host-precomputed), 512/level
-    # pre-NMS, 512 final-NMS candidates, 192 proposals (vs the classic
-    # 300; the ROI stage scales with box count).
-    # Reference *defaults* stay on the exact parity path.
+    # ("serving_lean" in detax/train/profiles.py; ΔmAP vs the exact parity
+    # oracle on a trained checkpoint — scripts/eval_dmap.py, r3: approx
+    # top-k / recall-0.8 / Pallas NMS each ≤0.001, p192 +0.0004 standard;
+    # on the DENSE stress set (32 objects/image, the lever's failure mode,
+    # artifacts/dmap_dense_r3.json) p256 -0.0050, p192 -0.0063,
+    # p128 -0.0088, and serving_lean (p192 + 384-candidate cuts) is
+    # -0.0008 vs p192): Pallas NMS, Pallas image-resident ROIAlign at
+    # sampling_ratio 2 (free in the kernel: bilinear weights are
+    # host-precomputed), 384/level pre-NMS, 384 final-NMS candidates,
+    # 192 proposals (vs the classic 300; the ROI stage scales with box
+    # count). Reference *defaults* stay on the exact parity path.
     base = FasterRCNNConf(preprocess=PreprocessConf(image_size=SIZE))
     conf = base.replace(
         rpn=base.rpn.replace(
-            pre_nms_topk=(2000, 512),
+            pre_nms_topk=(2000, 384),
             post_nms_topk=(2000, 192),
             nms_impl="pallas",
             topk_impl="approx",
@@ -115,7 +115,7 @@ def _build(which: str):
         roi=base.roi.replace(
             nms_impl="pallas",
             topk_impl="approx",
-            pre_nms_candidates=512,
+            pre_nms_candidates=384,
             box_pooler=base.roi.box_pooler.replace(
                 sampling_ratio=2, impl="pallas", keep_ph_pad=True
             ),

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 PROFILES = (
     "exact", "approx_topk", "recall08", "pallas_nms", "pallas_pool", "pallas_pool_r2",
     "serving", "serving_r2", "serving_fast", "serving_fast_p256", "serving_fast_q8",
-    "serving_fast_p192", "serving_fast_p128",
+    "serving_fast_p192", "serving_fast_p128", "serving_lean",
 )
 
 
@@ -66,7 +66,7 @@ def build_frcnn_conf(size: int, num_classes: int, profile: str, base=None):
         )
     if profile in (
         "serving", "serving_r2", "serving_fast", "serving_fast_p256", "serving_fast_q8",
-        "serving_fast_p192", "serving_fast_p128",
+        "serving_fast_p192", "serving_fast_p128", "serving_lean",
     ):
         r = 1 if profile == "serving" else 2
         # serving_fast adds the round-3 candidate-count levers: 512/level
@@ -77,11 +77,15 @@ def build_frcnn_conf(size: int, num_classes: int, profile: str, base=None):
         # deeper cuts. serving_fast_q8 is p256 with the int8 pooler
         # (impl="pallas_q8") — the dmAP harness for the quantized-window
         # lever.
-        fast = profile.startswith("serving_fast")
-        pre_k = 512 if fast else 1000
-        cand = 512 if fast else base.roi.pre_nms_candidates
+        fast = profile.startswith("serving_fast") or profile == "serving_lean"
+        lean = profile == "serving_lean"
+        # serving_lean = p192 + 384/level pre-NMS + 384 final-NMS
+        # candidates: prices the next candidate-count rung below the
+        # benched profile on both eval sets before the bench adopts it
+        pre_k = (384 if lean else 512) if fast else 1000
+        cand = (384 if lean else 512) if fast else base.roi.pre_nms_candidates
         post_k = {
-            "serving_fast_p192": 192, "serving_fast_p128": 128,
+            "serving_fast_p192": 192, "serving_fast_p128": 128, "serving_lean": 192,
         }.get(profile, 300 if profile in ("serving", "serving_r2", "serving_fast") else 256)
         pool_impl = "pallas_q8" if profile == "serving_fast_q8" else "pallas"
         return base.replace(
