@@ -126,17 +126,38 @@ def cmd_train(args: argparse.Namespace) -> None:
     tx = make_optimizer(schedule, params=params)
     state, tx = create_train_state(params, tx=tx, rng=jax.random.PRNGKey(args.seed))
 
-    mesh = create_mesh() if len(jax.devices()) > 1 else None
+    n_dev = len(jax.devices())
+    mesh = create_mesh() if n_dev > 1 and args.batch % n_dev == 0 else None
+    if n_dev > 1 and mesh is None:
+        print(f"batch {args.batch} not divisible by {n_dev} devices: running single-device")
     step_fn = make_train_step(model, tx, mesh=mesh, augment=not args.no_augment)
     if mesh is not None:
         state = jax.device_put(state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
 
     logs = get_logs()
     ckpt = CheckpointManager(args.checkpoint_dir) if args.checkpoint_dir else None
+    start_step = 0
+    if args.resume:
+        # preemption-safe resume (SURVEY.md §5.3/§5.4): restore the FULL
+        # train state — params, optimizer state, step count, RNG — from the
+        # latest checkpoint in --checkpoint-dir; the LR schedule continues
+        # from the restored step because optax reads state.opt_state's count.
+        # Contract analog: reference BaseModel.load 'trained' mode
+        # (/root/reference/python/src/models/base.py:62-76), extended from
+        # weights-only to full-state as the TPU preemption story requires.
+        assert ckpt is not None, "--resume requires --checkpoint-dir"
+        latest = ckpt.latest_step()
+        assert latest is not None, f"--resume: no checkpoint in {args.checkpoint_dir}"
+        state = ckpt.restore(state)
+        start_step = int(jax.device_get(state.step))
+        print(f"resumed from step {start_step} ({args.checkpoint_dir})")
+        if start_step >= args.steps:
+            print("nothing to do: checkpoint step >= --steps")
+            return
     best = float("inf")
     t0 = time.time()
-    for i in range(args.steps):
-        if i > 0:
+    for i in range(start_step, args.steps):
+        if i > start_step:
             images, gt = next(batches)
         if mesh is not None:
             images, gt = shard_batch(mesh, images), shard_batch(mesh, gt)
@@ -153,8 +174,11 @@ def cmd_train(args: argparse.Namespace) -> None:
             if ckpt and loss < best:
                 best = loss
                 ckpt.save(state, is_best=True)
+        if ckpt and args.save_every and (i + 1) % args.save_every == 0:
+            ckpt.save(state)
     if ckpt:
         ckpt.save(state, wait=True)
+        ckpt.close()  # join orbax's async commit threads before exit
     print(f"done: final_loss={float(metrics['total_loss']):.4f}")
 
     if args.eval_images > 0:
@@ -272,6 +296,15 @@ def main() -> None:
     t.add_argument("--coco-images", default=None)
     t.add_argument("--synthetic-images", type=int, default=256)
     t.add_argument("--checkpoint-dir", default=None)
+    t.add_argument(
+        "--resume", action="store_true",
+        help="restore the latest full train state (params/opt/step/rng) from "
+        "--checkpoint-dir and continue to --steps (preemption-safe resume)",
+    )
+    t.add_argument(
+        "--save-every", type=int, default=0,
+        help="save a resumable checkpoint every N steps (0 = only best/final)",
+    )
     t.add_argument("--log-every", type=int, default=10)
     t.add_argument("--no-augment", action="store_true")
     t.add_argument("--eval-images", type=int, default=0, help="run mAP eval on this many held-out images after training")

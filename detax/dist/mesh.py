@@ -75,14 +75,40 @@ def data_sharding(mesh: Mesh, ndim: int, spatial_dim: Optional[int] = None) -> N
     return NamedSharding(mesh, P(*spec))
 
 
+def validate_spatial(mesh: Mesh, image_size: int, max_stride: int = 32) -> None:
+    """ENFORCE the ≥1-row-per-shard rule (was docstring-only — VERDICT r3
+    item 6): XLA's conv backward silently produces ~40%-off weight grads when
+    a spatially-sharded dim has fewer rows than shards (probed in
+    tests/test_dist.py::test_spatial_sharding_train_step_grads), so a mesh
+    whose ``spatial`` axis exceeds the deepest feature map's row count must
+    be rejected, not documented."""
+    spatial = dict(mesh.shape).get("spatial", 1)
+    if spatial <= 1:
+        return
+    deepest_rows = image_size // max_stride
+    if deepest_rows < spatial:
+        raise ValueError(
+            f"spatial={spatial} shards but the deepest feature map "
+            f"({image_size}/{max_stride}={deepest_rows} rows) has fewer rows "
+            f"than shards: XLA's conv backward silently corrupts weight "
+            f"grads in this regime. Use image_size >= {spatial * max_stride} "
+            f"or spatial <= {max(1, deepest_rows)}."
+        )
+
+
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
 def shard_batch(mesh: Mesh, tree, spatial_dim: Optional[int] = None):
-    """Device-put a host pytree with batch-dim sharding over the mesh."""
+    """Device-put a host pytree with batch-dim sharding over the mesh.
+
+    ``spatial_dim`` applies only to pixel-like leaves (ndim >= 4): metadata
+    arrays riding along in the same pytree (per-image sizes/scales, GT boxes)
+    have no H dim to shard."""
 
     def put(x):
-        return jax.device_put(x, data_sharding(mesh, np.ndim(x), spatial_dim))
+        sd = spatial_dim if np.ndim(x) >= 4 else None
+        return jax.device_put(x, data_sharding(mesh, np.ndim(x), sd))
 
     return jax.tree_util.tree_map(put, tree)

@@ -153,33 +153,13 @@ class FasterRCNN(nn.Module):
         boxes, classes, tboxes, is_fg, valid, gt_idx, roi_metrics = label_and_sample_proposals(
             k_roi, self.conf.roi, proposals, gt
         )
-        # TRAINING pools through the differentiable XLA gather path even when
-        # the conf selects the Pallas pooler: pallas_call with scratch/DMA
-        # semantics has no JVP rule on TPU (jax asserts in
-        # _pallas_call_jvp_rule), and the gather path is its semantic twin
-        # (the only divergence is the serving kernel's window-fitting level
-        # assignment, quantified as ΔmAP in scripts/eval_dmap.py). CPU tests
-        # never hit this: interpret-mode pallas IS differentiable.
+        # TRAINING pools through the SAME pooler that serves: the Pallas
+        # kernel carries a custom VJP (kernel forward, gather-path backward
+        # at the kernel's window-fitting level assignment — see
+        # multiscale_roi_align_pallas), so the net you train IS the net you
+        # serve (closes the round-3 train/serve pooler skew).
         roi_train = self.conf.roi
-        pad_ph = False
-        if roi_train.box_pooler.impl.startswith("pallas"):
-            pad_ph = roi_train.box_pooler.keep_ph_pad  # fc0 expects 8 rows
-            roi_train = roi_train.replace(
-                box_pooler=roi_train.box_pooler.replace(impl="xla", keep_ph_pad=False)
-            )
-        if roi_train.mask_pooler.impl.startswith("pallas"):
-            roi_train = roi_train.replace(
-                mask_pooler=roi_train.mask_pooler.replace(impl="xla")
-            )
-        if roi_train.keypoint_pooler.impl.startswith("pallas"):
-            roi_train = roi_train.replace(
-                keypoint_pooler=roi_train.keypoint_pooler.replace(impl="xla")
-            )
         pooled = pool_features(roi_train, feats, self._strides(), boxes)
-        if pad_ph:
-            # reproduce the serving kernel's zero pad row so the box head's
-            # ph_pad-shaped fc0 kernel applies unchanged
-            pooled = jnp.pad(pooled, ((0, 0), (0, 0), (0, 1), (0, 0), (0, 0)))
         scores, box_deltas = self.roi(pooled, train=True)
         roi_loss = fast_rcnn_losses(
             self.conf.roi, scores, box_deltas, boxes, classes, tboxes, is_fg, valid

@@ -53,6 +53,7 @@ host-side wrapper.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Sequence, Tuple
 
@@ -68,14 +69,9 @@ WIN_X = 40  # cols: 28-cell span + margin + ≤7 cells of 8-alignment drift
 X_ALIGN = 8
 BOXES_PER_PROGRAM = 24  # ring == p: every window resident in VMEM at once
 RESIDENT_VMEM_BUDGET = 12 * 1024 * 1024  # v4 map-resident path eligibility
-_FORCE_PACKED_RESIDENT = False  # v5 experiment gate (measured slower, see below)
-# v6 two-chained-matmul packed kernel: measured SLOWER (49.1 vs 31.4 ms at
-# b128 serving shapes) — eliminating the m-build's selector dots is not
-# worth lengthening each box's dependency chain to repeat→mask→dot→cast→
-# repeat→mask→dot (the single-matmul form lets Mosaic overlap the m-build
-# of box j+1 with the matmul of box j). Kept behind this gate with a
-# parity test; see _kernel_factory_packed_v6.
-_PACKED_V6 = False
+# Rejected kernel generations (v5 packed-resident, v6 two-chained-matmul,
+# v7 sorted-segment) are retired — measurements and why each lost live in
+# docs/kernel-notebook.md.
 # v8 image-resident packed kernel (default): windows sliced directly from a
 # double-buffered VMEM-resident composite map — see _kernel_factory_packed_v8
 RESIDENT_V8 = True
@@ -634,200 +630,6 @@ def _kernel_factory_packed_q8(
     return kernel
 
 
-def _kernel_factory_packed_v6(
-    num_levels: int, c_out: int, p: int, out_dtype, ph_pad: int = 8, pw: int = _PH
-):
-    """v6 packed kernel: the pooled reduce as TWO chained MXU matmuls with
-    box-independent 0/1 masks.
-
-    Reassociating out = Σ_y wy·(Σ_x wx·win) makes both structured operands
-    factor as (per-box weight row, tile-repeated along lanes) × (CONSTANT
-    block mask):
-
-        U  = (repeat(wx_u)  ⊙ T2) @ win     (u_rows, 640) @ (640, 128)
-        o2 = (repeat(wy_eo) ⊙ T3) @ U       (2·rows, u_rows) @ (u_rows, 128)
-
-    where T2[r, (yp, x)] = δ(yp == r mod WIN_YP) and
-    T3[r, (px, yp)] = δ(px == r mod pw) are loop-invariant constants, and
-    U's rows are (px, yp) pairs. This deletes the per-box SELECTOR DOTS and
-    fp32 accumulators of the kron m-build (measured 13.1 ms across the
-    batch — VMEM-traffic-bound), leaving one lane-repeat + constant mask
-    multiply per operand. The parity combine is unchanged: o2's top block
-    applies even-row y-weights (valid in parity-0 lanes), the bottom block
-    odd (parity-1), folded with the 64-lane roll."""
-    rows = ph_pad * pw
-    u_rows = pw * _WIN_YP
-
-    def kernel(ints_ref, wyeo_ref, wx_ref, t2_ref, t3_ref, *refs):
-        feat_refs = refs[:num_levels]
-        out_ref = refs[num_levels]
-        window = refs[num_levels + 1]  # (p, WIN_YP, WIN_X, 128)
-        sems = refs[num_levels + 2]
-
-        def start_dma(j):
-            bidx = ints_ref[j, 0]
-            y0p = ints_ref[j, 1]  # packed-row origin (= y0 / 2)
-            x0 = pl.multiple_of((ints_ref[j, 2] // X_ALIGN) * X_ALIGN, X_ALIGN)
-            level = ints_ref[j, 3]
-            for l in range(num_levels):
-                @pl.when(level == l)
-                def _():
-                    pltpu.make_async_copy(
-                        feat_refs[l].at[bidx, pl.ds(y0p, _WIN_YP), pl.ds(x0, WIN_X), :],
-                        window.at[j],
-                        sems.at[j],
-                    ).start()
-
-        def wait_dma(j):
-            pltpu.make_async_copy(
-                feat_refs[0].at[0, pl.ds(0, _WIN_YP), pl.ds(0, WIN_X), :],
-                window.at[j],
-                sems.at[j],
-            ).wait()
-
-        for j in range(p):
-            start_dma(j)
-
-        is_f32 = jnp.dtype(out_dtype) == jnp.float32
-        precision = jax.lax.Precision.HIGHEST if is_f32 else jax.lax.Precision.DEFAULT
-        mm_dtype = jnp.float32 if is_f32 else out_dtype
-
-        # program-wide row expansions from the compact shipped weights
-        # (selector dots as in _expand_rows, but to the v6 row orderings)
-        rx = jax.lax.broadcasted_iota(jnp.int32, (p * u_rows, p * pw), 0)
-        cx = jax.lax.broadcasted_iota(jnp.int32, (p * u_rows, p * pw), 1)
-        sx = (cx == (rx // u_rows) * pw + (rx % u_rows) // _WIN_YP).astype(mm_dtype)
-        wx_u = jnp.dot(
-            sx, wx_ref[:].astype(mm_dtype),
-            preferred_element_type=jnp.float32, precision=precision,
-        ).astype(mm_dtype)  # (p·u_rows, WIN_X): row (box, px, yp) → wx[box, px]
-        r2 = jax.lax.broadcasted_iota(jnp.int32, (p * 2 * rows, p * 2 * ph_pad), 0)
-        c2 = jax.lax.broadcasted_iota(jnp.int32, (p * 2 * rows, p * 2 * ph_pad), 1)
-        rr = r2 % (2 * rows)
-        sy = (
-            c2 == (r2 // (2 * rows)) * 2 * ph_pad + (rr // rows) * ph_pad + (rr % rows) // pw
-        ).astype(mm_dtype)
-        wy_eo = jnp.dot(
-            sy, wyeo_ref[:].astype(mm_dtype),
-            preferred_element_type=jnp.float32, precision=precision,
-        ).astype(mm_dtype)  # (p·2·rows, WIN_YP): row (box, parity, py, px) → wy
-
-        t2 = t2_ref[:].astype(mm_dtype)  # (u_rows, WIN_YP·WIN_X) const mask
-        t3 = t3_ref[:].astype(mm_dtype)  # (2·rows, u_rows) const mask
-
-        for j in range(p):
-            wait_dma(j)
-            win = window[j].reshape(_WIN_YP * WIN_X, 128)
-            w1 = pltpu.repeat(wx_u[j * u_rows:(j + 1) * u_rows, :], _WIN_YP, axis=1) * t2
-            u = jnp.dot(
-                w1.astype(win.dtype), win,
-                preferred_element_type=jnp.float32, precision=precision,
-            ).astype(mm_dtype)  # (u_rows, 128): row (px, yp)
-            m2 = pltpu.repeat(wy_eo[j * 2 * rows:(j + 1) * 2 * rows, :], pw, axis=1) * t3
-            o2 = jnp.dot(
-                m2, u, preferred_element_type=jnp.float32, precision=precision
-            )  # (2·rows, 128): [0,rows) even-y weights, rest odd
-            o = o2[:rows] + pltpu.roll(o2[rows:], 64, axis=1)
-            out_ref[pl.ds(j * rows, rows), :] = o[:, :c_out].astype(out_dtype)
-
-    return kernel
-
-
-def _kernel_factory_packed_resident(
-    num_levels: int,
-    c_out: int,
-    p: int,
-    out_dtype,
-    map_shapes,  # per level (Hl_pad // 2, Wl_pad) of the PACKED feature refs
-):
-    """v5: y-pair-packed windows sliced from a VMEM-resident map.
-
-    Combines the two earlier levers: the packed lane layout (row pairs in
-    the 128 lanes — full-width MXU operands at c=64) and map residency
-    (boxes sorted by (image, level); each packed map is DMA'd ONCE per
-    segment instead of a 163 KB window DMA per box). At b128 serving
-    shapes the per-box window DMAs total ~6.3 GB vs ~0.6 GB of segment
-    map reads — the v3 probe measured the window DMAs as ~99% of kernel
-    time, so residency attacks the dominant term while the packed matmul
-    keeps the MXU operands full-width."""
-    max_h = max(h for h, _ in map_shapes)
-    max_w = max(w for _, w in map_shapes)
-
-    def kernel(ints_ref, wye_ref, wyo_ref, wx_ref, t_ref, *refs):
-        feat_refs = refs[:num_levels]
-        out_ref = refs[num_levels]
-        map_scr = refs[num_levels + 1]  # (max_h, max_w, 128) packed rows
-        me_scr = refs[num_levels + 2]
-        mo_scr = refs[num_levels + 3]
-        resident = refs[num_levels + 4]  # SMEM (1,): resident segment key
-        sem = refs[num_levels + 5]
-
-        @pl.when(pl.program_id(0) == 0)
-        def _():
-            resident[0] = -1
-
-        precision = (
-            jax.lax.Precision.HIGHEST
-            if jnp.dtype(out_dtype) == jnp.float32
-            else jax.lax.Precision.DEFAULT
-        )
-        mm_dtype = jnp.float32 if jnp.dtype(out_dtype) == jnp.float32 else out_dtype
-
-        (wye56, wyo56), wx56 = _expand_rows(
-            p,
-            [wye_ref[:].astype(mm_dtype), wyo_ref[:].astype(mm_dtype)],
-            wx_ref[:].astype(mm_dtype),
-            precision,
-        )
-        chunk = max(1, p // 4) * _ROWS
-        for q in range(0, p * _ROWS, chunk):
-            a1 = pltpu.repeat(wx56[q:q + chunk, :], _WIN_YP, axis=1)
-            for wexp, scr in ((wye56, me_scr), (wyo56, mo_scr)):
-                a2 = jnp.dot(
-                    wexp[q:q + chunk, :],
-                    t_ref[:].astype(mm_dtype),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
-                scr[q:q + chunk, :] = a1 * a2.astype(mm_dtype)
-
-        for j in range(p):
-            bidx = ints_ref[j, 0]
-            y0p = ints_ref[j, 1]  # packed-row origin (= y0 / 2)
-            x0 = pl.multiple_of((ints_ref[j, 2] // X_ALIGN) * X_ALIGN, X_ALIGN)
-            level = ints_ref[j, 3]
-            key = ints_ref[j, 4]
-
-            # segment transition: blocking whole-map DMA (rare — once per
-            # (image, level) across the whole sorted grid)
-            for l, (hl, wl) in enumerate(map_shapes):
-                @pl.when((key != resident[0]) & (level == l))
-                def _():
-                    cp = pltpu.make_async_copy(
-                        feat_refs[l].at[bidx],
-                        map_scr.at[pl.ds(0, hl), pl.ds(0, wl), :],
-                        sem,
-                    )
-                    cp.start()
-                    cp.wait()
-            resident[0] = key
-
-            win = map_scr[pl.ds(y0p, _WIN_YP), pl.ds(x0, WIN_X), :]
-            win = win.reshape(_WIN_YP * WIN_X, 128)
-            oe = jnp.dot(
-                me_scr[j * _ROWS:(j + 1) * _ROWS, :].astype(win.dtype), win,
-                preferred_element_type=jnp.float32, precision=precision,
-            )  # (56, 128) fp32: parity-0 half valid
-            oo = jnp.dot(
-                mo_scr[j * _ROWS:(j + 1) * _ROWS, :].astype(win.dtype), win,
-                preferred_element_type=jnp.float32, precision=precision,
-            )  # parity-1 half valid
-            o = oe + pltpu.roll(oo, 64, axis=1)  # fp32 roll (bf16 roll unsupported)
-            out_ref[pl.ds(j * _ROWS, _ROWS), :] = o[:, :c_out].astype(out_dtype)
-
-    return kernel, (max_h, max_w)
-
-
 def _kernel_factory_resident(
     num_levels: int,
     c: int,
@@ -958,6 +760,85 @@ def multiscale_roi_align_pallas(
     keep_ph_pad: bool = False,
     quantize: bool = False,
 ) -> Array:
+    """Differentiable Pallas ROIAlign: KERNEL forward, GATHER-path backward.
+
+    ``pallas_call`` with scratch/DMA semantics has no JVP rule on TPU, so the
+    kernel is wrapped in a ``jax.custom_vjp`` whose backward is the VJP of
+    the XLA gather pooler evaluated with the kernel's own window-fitting
+    level assignment (``max_side_cells=28``) — the two are semantic twins,
+    so this is the exact gradient of the kernel's pooling function (up to
+    bf16 rounding). Training therefore runs through the SAME pooler that
+    serves (kills the round-3 train/serve skew at
+    ``models/faster_rcnn.py::train_forward``). The int8 ``quantize`` path
+    gets the same backward (a straight-through estimator through the
+    quantization). See :func:`_multiscale_roi_align_pallas_impl` for the
+    kernel itself and the full parameter docs.
+    """
+    f = _trainable_pallas_pool(
+        tuple(int(s) for s in strides), (int(output_size[0]), int(output_size[1])),
+        int(sampling_ratio), int(canonical_box_size), int(canonical_level),
+        interpret, bool(keep_ph_pad), bool(quantize),
+    )
+    return f(tuple(features), boxes)
+
+
+@functools.lru_cache(maxsize=None)
+def _trainable_pallas_pool(
+    strides, output_size, sampling_ratio, canonical_box_size, canonical_level,
+    interpret, keep_ph_pad, quantize,
+):
+    ph, pw = output_size
+    ph_pad = -(-ph // 8) * 8
+
+    @jax.custom_vjp
+    def pool(feats, boxes):
+        return _multiscale_roi_align_pallas_impl(
+            list(feats), boxes, list(strides), output_size=output_size,
+            sampling_ratio=sampling_ratio, canonical_box_size=canonical_box_size,
+            canonical_level=canonical_level, interpret=interpret,
+            keep_ph_pad=keep_ph_pad, quantize=quantize,
+        )
+
+    def fwd(feats, boxes):
+        return pool(feats, boxes), (feats, boxes)
+
+    def bwd(res, g):
+        feats, boxes = res
+
+        def gather_twin(feats_, boxes_):
+            from detax.ops.roi_align import multiscale_roi_align
+
+            out = multiscale_roi_align(
+                list(feats_), boxes_, list(strides), output_size=output_size,
+                sampling_ratio=sampling_ratio, aligned=True,
+                canonical_box_size=canonical_box_size,
+                canonical_level=canonical_level, max_side_cells=28,
+            )
+            if keep_ph_pad:
+                out = jnp.pad(
+                    out, ((0, 0), (0, 0), (0, ph_pad - ph), (0, 0), (0, 0))
+                )
+            return out
+
+        _, vjp = jax.vjp(gather_twin, feats, boxes)
+        return vjp(g)
+
+    pool.defvjp(fwd, bwd)
+    return pool
+
+
+def _multiscale_roi_align_pallas_impl(
+    features: Sequence[Array],
+    boxes: Array,
+    strides: Sequence[int],
+    output_size: Tuple[int, int] = (7, 7),
+    sampling_ratio: int = 2,
+    canonical_box_size: int = 224,
+    canonical_level: int = 4,
+    interpret: bool | None = None,
+    keep_ph_pad: bool = False,
+    quantize: bool = False,
+) -> Array:
     """Drop-in for :func:`detax.ops.roi_align.multiscale_roi_align`
     (aligned=True path) backed by the window-DMA kernel.
 
@@ -1074,14 +955,7 @@ def multiscale_roi_align_pallas(
 
     # v8 (default packed path): image-resident composite map, double-buffered
     offsets = big_shape = map_shapes_v8 = None
-    use_v8 = (
-        RESIDENT_V8
-        and use_packed
-        and not quantize
-        and not is_f32
-        and not _FORCE_PACKED_RESIDENT
-        and not _PACKED_V6
-    )
+    use_v8 = RESIDENT_V8 and use_packed and not quantize and not is_f32
     if use_v8:
         map_shapes_v8 = [(f.shape[1], f.shape[2]) for f in feats]
         offsets, big_shape = _compose_layout(map_shapes_v8)
@@ -1132,21 +1006,13 @@ def multiscale_roi_align_pallas(
     max_map_bytes = max(f.shape[1] * f.shape[2] for f in feats) * c_pad * esize
     m_esize = 4 if is_f32 else esize
     m_bytes = p * _ROWS * WIN_Y * WIN_X * m_esize
-    m_bytes_packed = p * _ROWS * _WIN_YP * WIN_X * m_esize  # ×2 scratches
-    # Packed-resident (v5) measured SLOWER than packed window DMAs at b128
-    # serving shapes (33.9 vs 30.9 ms standalone): the blocking per-segment
-    # map DMA + dynamic-offset VMEM window slicing serialize against the
-    # matmuls, losing more than the HBM bytes save. Kept for c>64 where the
-    # v3 probe showed window DMAs at ~99% of kernel time; packed stays on
-    # the all-windows-up-front ring. Enable via _FORCE_PACKED_RESIDENT to
-    # re-measure.
-    use_resident = (ph, pw) == (_PH, _PH) and not quantize and (
-        (
-            use_packed and _FORCE_PACKED_RESIDENT
-            and (max_map_bytes + 2 * m_bytes_packed) <= RESIDENT_VMEM_BUDGET
-        ) or (
-            not use_packed and (max_map_bytes + m_bytes) <= RESIDENT_VMEM_BUDGET
-        )
+    # (a packed-resident v5 variant measured slower than the packed window
+    # ring and was retired — docs/kernel-notebook.md)
+    use_resident = (
+        (ph, pw) == (_PH, _PH)
+        and not quantize
+        and not use_packed
+        and (max_map_bytes + m_bytes) <= RESIDENT_VMEM_BUDGET
     )
     if use_resident:
         order = jnp.argsort(bidx * jnp.int32(num_levels) + lvl_idx.astype(jnp.int32), stable=True)
@@ -1211,66 +1077,7 @@ def multiscale_roi_align_pallas(
 
     if use_packed:
         m_dt = jnp.float32 if is_f32 else dtype
-        if use_resident:
-            kernel, (max_h, max_w) = _kernel_factory_packed_resident(
-                num_levels, c, p, dtype, [(f.shape[1], f.shape[2]) for f in feats]
-            )
-            scratch = [
-                pltpu.VMEM((max_h, max_w, 128), dtype),
-                pltpu.VMEM((p * _ROWS, _WIN_YP * WIN_X), m_dt),
-                pltpu.VMEM((p * _ROWS, _WIN_YP * WIN_X), m_dt),
-                pltpu.SMEM((1,), jnp.int32),
-                pltpu.SemaphoreType.DMA,
-            ]
-        elif _PACKED_V6:
-            u_rows = pw * _WIN_YP
-            kernel = _kernel_factory_packed_v6(
-                num_levels, c, p, dtype, ph_pad=ph_pad, pw=pw
-            )
-            # T2[(px,yp), (yp',x)] = δ(yp'==yp); T3[(par,py,px), (px',yp)] = δ(px'==px)
-            t2 = jnp.asarray(
-                (np.arange(_WIN_YP * WIN_X)[None, :] // WIN_X)
-                == (np.arange(u_rows) % _WIN_YP)[:, None],
-                jnp.float32,
-            )
-            t3 = jnp.asarray(
-                (np.arange(u_rows)[None, :] // _WIN_YP)
-                == (np.arange(2 * rows) % pw)[:, None],
-                jnp.float32,
-            )
-            wy_eo = jnp.concatenate(
-                [wy8[..., 0::2], wy8[..., 1::2]], axis=1
-            )  # (N, 2·ph_pad, WIN_YP): even rows then odd rows per box
-            out = pl.pallas_call(
-                kernel,
-                grid=(grid,),
-                in_specs=[
-                    pl.BlockSpec((p, 5), lambda i: (i, 0), memory_space=pltpu.SMEM),
-                    pl.BlockSpec((p * 2 * ph_pad, _WIN_YP), lambda i: (i, 0)),
-                    pl.BlockSpec((p * pw, WIN_X), lambda i: (i, 0)),
-                    pl.BlockSpec((u_rows, _WIN_YP * WIN_X), lambda i: (0, 0)),
-                    pl.BlockSpec((2 * rows, u_rows), lambda i: (0, 0)),
-                ]
-                + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
-                out_specs=pl.BlockSpec((p * rows, c), lambda i: (i, 0)),
-                out_shape=jax.ShapeDtypeStruct((n_pad * rows, c), dtype),
-                scratch_shapes=[
-                    pltpu.VMEM((p, _WIN_YP, WIN_X, 128), dtype),
-                    pltpu.SemaphoreType.DMA((p,)),
-                ],
-                interpret=interpret,
-            )(
-                ints,
-                wy_eo.reshape(n_pad * 2 * ph_pad, _WIN_YP),
-                wx.reshape(n_pad * pw, WIN_X),
-                t2,
-                t3,
-                *feats,
-            )
-            rows_keep = ph_pad if keep_ph_pad else ph
-            out = out.reshape(n_pad, ph_pad, pw, c)[:n, :rows_keep]
-            return out.reshape(b, r_boxes, rows_keep, pw, c)
-        elif use_v8:
+        if use_v8:
             kernel = _kernel_factory_packed_v8(
                 num_levels, c, p, dtype, map_shapes_v8, offsets, big_shape, b,
                 ph_pad=ph_pad, pw=pw,

@@ -51,7 +51,11 @@ class CheckpointManager:
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
         )
-        self._best = ocp.StandardCheckpointer()
+        # best-copy saves are synchronous: the async StandardCheckpointer's
+        # metadata-commit thread races interpreter exit (observed live: a
+        # dangling model_best.orbax-checkpoint-tmp + "cannot schedule new
+        # futures after shutdown" at teardown, even after wait_until_finished)
+        self._best = ocp.Checkpointer(ocp.StandardCheckpointHandler())
 
     def save(self, state: TrainState, is_best: bool = False, wait: bool = False) -> None:
         step = int(jax.device_get(state.step))
@@ -59,9 +63,9 @@ class CheckpointManager:
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         if is_best:
             path = os.path.join(self.directory, BEST_NAME)
-            self._best.save(path, state, force=True)
+            self._best.save(path, args=ocp.args.StandardSave(state), force=True)
         if wait:
-            self._mgr.wait_until_finished()
+            self.wait()
 
     def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
         """Restore latest (or given) step into the shape/sharding of ``template``.
@@ -75,7 +79,7 @@ class CheckpointManager:
 
     def restore_best(self, template: TrainState) -> TrainState:
         path = os.path.join(self.directory, BEST_NAME)
-        return self._best.restore(path, target=_globalize(template))
+        return self._best.restore(path, args=ocp.args.StandardRestore(_globalize(template)))
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -84,6 +88,8 @@ class CheckpointManager:
         self._mgr.wait_until_finished()
 
     def close(self) -> None:
+        self.wait()
+        self._best.close()
         self._mgr.close()
 
 

@@ -41,6 +41,12 @@ def make_train_step(
     """
 
     def step(state: TrainState, images: ImageBatch, gt: GroundTruth):
+        if mesh is not None:
+            # trace-time (static shapes): reject meshes whose spatial axis
+            # outruns the deepest feature map — see mesh.validate_spatial
+            from detax.dist.mesh import validate_spatial
+
+            validate_spatial(mesh, int(images.pixels.shape[1]))
         if images.pixels.dtype == jnp.uint8:
             from detax.ops.preprocess import normalize_canvas
 
@@ -88,12 +94,19 @@ def make_train_step(
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
     # state replicated; images/gt sharded on the data axis (leading dim);
-    # single shardings broadcast over each argument's pytree leaves
+    # on a (data, spatial) mesh the image H dim additionally shards on
+    # ``spatial`` (conv halo exchange handled by XLA — the CNN analog of
+    # context parallelism, SURVEY.md §5.7)
     repl = NamedSharding(mesh, P())
     batch = NamedSharding(mesh, P("data"))
+    if dict(mesh.shape).get("spatial", 1) > 1:
+        pix = NamedSharding(mesh, P("data", "spatial"))
+        images_shardings = ImageBatch(pixels=pix, image_sizes=batch, scales=batch)
+    else:
+        images_shardings = batch
     return jax.jit(
         step,
-        in_shardings=(repl, batch, batch),
+        in_shardings=(repl, images_shardings, batch),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )

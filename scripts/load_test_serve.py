@@ -1,0 +1,133 @@
+"""Serving latency percentiles under a stated offered load (VERDICT r3 item 7).
+
+Drives a running detax server's ``POST /detect`` with N closed-loop client
+threads for a fixed duration, then records BOTH the client-side end-to-end
+latency percentiles and the server's own ``GET /stats`` percentiles (the
+batcher's native end-to-end accounting) into an artifact.
+
+The BASELINE metric names "p50 request latency" (BASELINE.md); the reference
+never shipped its server at all (SURVEY.md §2.3: the Rust layer is named in
+README.md:2 but absent), so there is no reference number — this publishes
+ours under a stated load.
+
+Usage (server must already be running — e.g.
+``python -m detax.cli serve --port 8500 --batch 32 --image-size 640``):
+
+  python scripts/load_test_serve.py --port 8500 --clients 32 --seconds 30 \
+      --height 480 --width 640 --out artifacts/serve_load_r4.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.client
+import json
+import os
+import threading
+import time
+
+import numpy as np
+
+
+def _one_client(host, port, height, width, stop_at, lat_ms, errors, seed):
+    rng = np.random.RandomState(seed)
+    img = (rng.rand(height, width, 3) * 255).astype(np.uint8)
+    body = img.tobytes()
+    headers = {"X-Image-Shape": f"{height},{width},3"}
+    while time.time() < stop_at:
+        t0 = time.time()
+        try:
+            c = http.client.HTTPConnection(host, port, timeout=300)
+            c.request("POST", "/detect", body=body, headers=headers)
+            r = c.getresponse()
+            payload = r.read()
+            c.close()
+            if r.status != 200:
+                errors.append(r.status)
+                continue
+            json.loads(payload)
+            lat_ms.append((time.time() - t0) * 1000.0)
+        except Exception as e:  # connection errors count against the run
+            errors.append(str(e))
+
+
+def _get_stats(host, port):
+    c = http.client.HTTPConnection(host, port, timeout=60)
+    c.request("GET", "/stats")
+    return json.loads(c.getresponse().read())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8500)
+    ap.add_argument("--clients", type=int, default=32)
+    ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--warmup-seconds", type=float, default=5.0)
+    ap.add_argument("--out", default="artifacts/serve_load_r4.json")
+    args = ap.parse_args()
+
+    # warmup (excluded from the recorded window)
+    stop = time.time() + args.warmup_seconds
+    warm_lat, warm_err = [], []
+    ts = [
+        threading.Thread(
+            target=_one_client,
+            args=(args.host, args.port, args.height, args.width, stop, warm_lat, warm_err, i),
+        )
+        for i in range(args.clients)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+
+    stats_before = _get_stats(args.host, args.port)
+    lat_ms: list = []
+    errors: list = []
+    stop = time.time() + args.seconds
+    t_start = time.time()
+    ts = [
+        threading.Thread(
+            target=_one_client,
+            args=(args.host, args.port, args.height, args.width, stop, lat_ms, errors, 1000 + i),
+        )
+        for i in range(args.clients)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    elapsed = time.time() - t_start
+    stats_after = _get_stats(args.host, args.port)
+
+    lat = np.asarray(sorted(lat_ms))
+    completed = int(stats_after["completed"]) - int(stats_before["completed"])
+    result = {
+        "offered_load": {
+            "clients_closed_loop": args.clients,
+            "image_shape": [args.height, args.width, 3],
+            "duration_s": round(elapsed, 2),
+        },
+        "achieved_rps": round(len(lat) / elapsed, 2),
+        "client_latency_ms": {
+            "p50": round(float(np.percentile(lat, 50)), 2) if len(lat) else None,
+            "p90": round(float(np.percentile(lat, 90)), 2) if len(lat) else None,
+            "p99": round(float(np.percentile(lat, 99)), 2) if len(lat) else None,
+            "mean": round(float(lat.mean()), 2) if len(lat) else None,
+            "n": int(len(lat)),
+        },
+        "server_stats_after": stats_after,
+        "server_completed_in_window": completed,
+        "errors": len(errors),
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

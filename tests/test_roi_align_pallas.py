@@ -164,21 +164,6 @@ def test_pad_box_head_params_equivalence(rng):
     np.testing.assert_allclose(np.asarray(deltas8), np.asarray(deltas), rtol=1e-6, atol=1e-6)
 
 
-def test_packed_resident_variant(rng):
-    # the v5 packed-resident kernel is gated off by default (measured slower
-    # at b128 serving shapes) but must stay parity-exact
-    import detax.ops.roi_align_pallas as rap
-
-    feats, boxes, strides = _setup(rng, b=2, n=10)
-    want = np.asarray(multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 2))
-    rap._FORCE_PACKED_RESIDENT = True
-    try:
-        got = np.asarray(multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 2))
-    finally:
-        rap._FORCE_PACKED_RESIDENT = False
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-
-
 def test_pallas_14x14_mask_pooler_matches_gather(rng):
     """The generic packed kernel at the mask/keypoint poolers' 14×14 output
     (ph padded to the 16-row tile in-kernel) matches the gather path."""
@@ -202,21 +187,6 @@ def test_pallas_14x14_oracle_per_level(rng):
             (14, 14), 2, True,
         )
         np.testing.assert_allclose(got[0, j], want[0], rtol=1e-4, atol=1e-4)
-
-
-def test_packed_v6_variant(rng):
-    # the v6 two-chained-matmul kernel is gated off by default (measured
-    # slower at b128 serving shapes) but must stay parity-exact
-    import detax.ops.roi_align_pallas as rap
-
-    feats, boxes, strides = _setup(rng, b=2, n=10)
-    want = np.asarray(multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 2))
-    rap._PACKED_V6 = True
-    try:
-        got = np.asarray(multiscale_roi_align_pallas(feats, boxes, strides, (7, 7), 2))
-    finally:
-        rap._PACKED_V6 = False
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 def test_v8_image_resident_exact_vs_v3_bf16(rng):
@@ -263,3 +233,59 @@ def test_quantized_pooler_q8_close_to_exact(rng):
     # and it must stay well-correlated (sanity against sign/layout bugs)
     cc = np.corrcoef(got.ravel(), want.ravel())[0, 1]
     assert cc > 0.999
+
+
+def test_pallas_pooler_custom_vjp_grads_match_gather_twin(rng):
+    """The Pallas pooler is differentiable (custom VJP: kernel forward,
+    gather-path backward) — VERDICT r3 item 4. Its gradients must EQUAL the
+    gather path's at the kernel's window-fitting level assignment, and its
+    primal must stay the kernel output."""
+    import jax
+
+    feats, boxes, strides = _setup(rng, b=1, n=6, c=8, size=256)
+
+    def loss_pallas(fs):
+        out = multiscale_roi_align_pallas(list(fs), boxes, strides, (7, 7), 2)
+        return jnp.sum(out * out)
+
+    def loss_gather(fs):
+        out = multiscale_roi_align(
+            list(fs), boxes, strides, (7, 7), 2, True, max_side_cells=28
+        )
+        return jnp.sum(out * out)
+
+    v_p, g_p = jax.value_and_grad(loss_pallas)(tuple(feats))
+    v_g, g_g = jax.value_and_grad(loss_gather)(tuple(feats))
+    # primal comes from the kernel; the two paths agree to fp tolerance
+    np.testing.assert_allclose(float(v_p), float(v_g), rtol=1e-4)
+    for a, b in zip(g_p, g_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_pooler_vjp_keep_ph_pad_and_boxes_grad(rng):
+    """keep_ph_pad: the padded row's cotangent is dropped exactly; box
+    gradients flow (they are stop_gradient'd upstream in training, but the
+    VJP itself must be complete)."""
+    import jax
+
+    feats, boxes, strides = _setup(rng, b=1, n=4, c=8, size=256)
+
+    def loss(fs, bx):
+        out = multiscale_roi_align_pallas(
+            list(fs), bx, strides, (7, 7), 2, keep_ph_pad=True
+        )
+        assert out.shape[2] == 8
+        return jnp.sum(out * out)
+
+    (gf, gb) = jax.grad(loss, argnums=(0, 1))(tuple(feats), boxes)
+
+    def loss_gather(fs, bx):
+        out = multiscale_roi_align(
+            list(fs), bx, strides, (7, 7), 2, True, max_side_cells=28
+        )
+        return jnp.sum(out * out)
+
+    wf, wb = jax.grad(loss_gather, argnums=(0, 1))(tuple(feats), boxes)
+    for a, b in zip(gf, wf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(wb), rtol=1e-4, atol=1e-4)

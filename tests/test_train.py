@@ -162,3 +162,80 @@ def test_synthetic_cache_consistent():
     assert a1[0] is a2[0]
     np.testing.assert_array_equal(a1[0], b[0])
     np.testing.assert_array_equal(a1[1], b[1])
+
+
+def test_preemption_resume_bit_identical(tmp_path):
+    """Preemption-safe resume (VERDICT r3 item 5): train 4 steps with a
+    periodic save at step 2, 'kill' the run (discard all in-memory state),
+    restore the full train state from the checkpoint, continue — the resumed
+    trajectory must be bit-identical to the uninterrupted run (same data
+    stream + the RNG lives in the state)."""
+    from detax.configs import FasterRCNNConf
+    from detax.models import FasterRCNN
+    from detax.train.checkpoint import CheckpointManager
+    from detax.train.step import make_train_step
+
+    pp = PreprocessConf(image_size=64)
+    ds = SyntheticCOCO(num_images=8, image_size=64, num_classes=5, cache=True)
+    conf = FasterRCNNConf(preprocess=pp)
+    conf = conf.replace(roi=conf.roi.replace(num_classes=5))
+    model = FasterRCNN(conf=conf)
+    it = make_batches(ds, 2, pp, max_gt_boxes=8)
+    batches = [next(it) for _ in range(4)]
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0][0])
+    state, tx = create_train_state(params, learning_rate=0.01, rng=jax.random.PRNGKey(1))
+    step = make_train_step(model, tx, donate=False)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    s = state
+    for i in range(4):
+        s, _ = step(s, *batches[i])
+        if i == 1:
+            mgr.save(s, wait=True)  # the periodic --save-every save
+    full = s
+
+    template = jax.tree_util.tree_map(jnp.zeros_like, state)
+    resumed = mgr.restore(template)
+    assert int(jax.device_get(resumed.step)) == 2
+    for i in range(2, 4):
+        resumed, _ = step(resumed, *batches[i])
+    assert int(jax.device_get(resumed.step)) == 4
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full.params), jax.tree_util.tree_leaves(resumed.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_cli_train_resume_wiring(tmp_path):
+    """The CLI `--resume` path end-to-end: train 2 steps saving every step,
+    then invoke cmd_train again with --resume --steps 4 — it must restore and
+    finish at step 4 (and a third run with steps<=4 must no-op)."""
+    import argparse
+
+    from detax.cli import cmd_train
+    from detax.train.checkpoint import CheckpointManager
+    from detax.train.train_state import create_train_state
+
+    def args(steps, resume):
+        return argparse.Namespace(
+            model="yolo", steps=steps, batch=2, lr=0.001, image_size=64,
+            num_classes=5, seed=0, coco_json=None, coco_images=None,
+            synthetic_images=8, checkpoint_dir=str(tmp_path / "ckpt"),
+            log_every=1, no_augment=True, eval_images=0, masks=False,
+            feed="device", resume=resume, save_every=1,
+        )
+
+    cmd_train(args(2, resume=False))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr.latest_step() == 2
+    mgr.close()
+
+    cmd_train(args(4, resume=True))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr.latest_step() == 4
+    mgr.close()
+
+    # resume with nothing left to do is a clean no-op
+    cmd_train(args(3, resume=True))
