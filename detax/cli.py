@@ -98,7 +98,15 @@ def cmd_train(args: argparse.Namespace) -> None:
     from detax.structures.image_batch import ImageBatch
     from detax.structures.logs import get_logs
     from detax.train.checkpoint import CheckpointManager
-    from detax.train.coco import COCOReader, SyntheticCOCO, make_batches, prefetch_batches
+    from detax.train.coco import (
+        COCOReader,
+        SyntheticCOCO,
+        build_device_cache,
+        cached_index_batches,
+        make_batches,
+        make_cached_gather,
+        prefetch_batches,
+    )
     from detax.train.step import make_train_step
     from detax.train.train_state import create_train_state, make_optimizer, warmup_cosine_schedule
 
@@ -112,13 +120,32 @@ def cmd_train(args: argparse.Namespace) -> None:
             num_images=args.synthetic_images, image_size=args.image_size,
             num_classes=args.num_classes, cache=True,
         )
-    batches = prefetch_batches(
-        make_batches(
-            dataset, args.batch, PreprocessConf(image_size=args.image_size),
-            max_gt_boxes=conf.max_gt_boxes, rect_masks=args.masks,
-            device_normalize=args.feed == "device",
+    if args.feed == "cached":
+        # device-resident dataset cache: the dataset crosses the host→device
+        # wire ONCE; each step ships a batch-size index array and the batch
+        # is gathered on device (see build_device_cache). Removes the
+        # host-feed/transfer bound entirely for fine-tune-scale datasets.
+        assert not args.masks, "--feed cached does not cover mask bitmaps yet"
+        cache_images, cache_gt = build_device_cache(
+            dataset, PreprocessConf(image_size=args.image_size),
+            max_gt_boxes=conf.max_gt_boxes,
         )
-    )
+        gather = make_cached_gather()
+        idx_stream = cached_index_batches(len(dataset), args.batch, seed=args.seed)
+
+        def _cached_batches():
+            while True:
+                yield gather(cache_images, cache_gt, np.asarray(next(idx_stream)))
+
+        batches = _cached_batches()
+    else:
+        batches = prefetch_batches(
+            make_batches(
+                dataset, args.batch, PreprocessConf(image_size=args.image_size),
+                max_gt_boxes=conf.max_gt_boxes, rect_masks=args.masks,
+                device_normalize=args.feed == "device",
+            )
+        )
 
     images, gt = next(batches)
     params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), images)
@@ -310,10 +337,12 @@ def main() -> None:
     t.add_argument("--eval-images", type=int, default=0, help="run mAP eval on this many held-out images after training")
     t.add_argument("--masks", action="store_true", help="Mask R-CNN mode (instance masks; synthetic data uses exact box masks)")
     t.add_argument(
-        "--feed", choices=["device", "host"], default="device",
+        "--feed", choices=["device", "host", "cached"], default="device",
         help="'device' ships uint8 canvases and normalizes inside the jitted "
         "step (fast feed; bit-identical for canvas-size sources); 'host' is "
-        "the numpy-normalized float path",
+        "the numpy-normalized float path; 'cached' uploads the whole dataset "
+        "to the device once and assembles batches on-device (fastest — "
+        "removes the host-transfer bound for fine-tune-scale datasets)",
     )
     t.set_defaults(fn=cmd_train)
 

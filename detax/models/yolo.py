@@ -183,10 +183,14 @@ class YOLO(nn.Module):
                 tw = jnp.log(jnp.maximum(gw, 1.0) / pw)
                 th = jnp.log(jnp.maximum(gh, 1.0) / ph)
                 vals = jnp.stack([tx, ty, tw, th], axis=-1)
-                tbox = jnp.zeros((rr, 4), jnp.float32).at[flat_i].set(
-                    vals * on_i[:, None]
-                )
-                tcls = jnp.zeros((rr,), jnp.int32).at[flat_i].set(cls_i * on_i)
+                # scatter only the ON-level GTs (pad-slot trick): a `.set`
+                # at flat_i for every GT let an OFF-level GT landing on the
+                # same (cell, anchor) slot overwrite an on-level GT's box/
+                # class target with zeros (observed as depressed synthetic
+                # mAP in multi-object scenes)
+                flat_on = jnp.where(on_i, flat_i, rr)
+                tbox = jnp.zeros((rr + 1, 4), jnp.float32).at[flat_on].set(vals)[:rr]
+                tcls = jnp.zeros((rr + 1,), jnp.int32).at[flat_on].set(cls_i)[:rr]
                 tmask = jnp.zeros((rr,), bool).at[flat_i].max(on_i)
                 return tobj, tbox, tcls, tmask, tign
 

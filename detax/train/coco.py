@@ -94,6 +94,25 @@ class SyntheticCOCO:
         return item
 
 
+def _decode_image(path: str) -> np.ndarray:
+    """Decode one image file: native libjpeg (the first-party C++ loader in
+    ``detax.serve.native`` — same decoder the serving path uses) for JPEGs,
+    PIL fallback otherwise. Unifies the train and serve decode paths
+    (VERDICT r3 item 3)."""
+    if path.lower().endswith((".jpg", ".jpeg")):
+        try:
+            from detax.serve.loader import decode_jpeg, have_native_loader
+
+            if have_native_loader():
+                with open(path, "rb") as f:
+                    return decode_jpeg(f.read())
+        except Exception:
+            pass  # fall through to PIL
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
 class COCOReader:
     """COCO-format annotation reader (instances JSON + image dir)."""
 
@@ -118,11 +137,7 @@ class COCOReader:
     def get(self, index: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         image_id = self.ids[index]
         info = self.images[image_id]
-        from PIL import Image
-
-        img = np.asarray(
-            Image.open(os.path.join(self.image_dir, info["file_name"])).convert("RGB")
-        )
+        img = _decode_image(os.path.join(self.image_dir, info["file_name"]))
         anns = self.annotations.get(image_id, [])
         boxes, classes = [], []
         for a in anns:
@@ -162,6 +177,7 @@ def make_batches(
     epochs: Optional[int] = None,
     rect_masks: bool = False,
     device_normalize: bool = False,
+    shuffle: bool = True,
 ) -> Iterator[Tuple[ImageBatch, GroundTruth]]:
     """Host-side batcher: letterbox to the static canvas, pad GT.
 
@@ -185,7 +201,7 @@ def make_batches(
     n = len(dataset)
     epoch = 0
     while epochs is None or epoch < epochs:
-        order = rng.permutation(n)
+        order = rng.permutation(n) if shuffle else np.arange(n)
         for start in range(0, n - batch_size + 1, batch_size):
             idxs = order[start : start + batch_size]
             pix_dtype = np.uint8 if device_normalize else np.float32
@@ -275,3 +291,56 @@ def _resize_bilinear(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
     c = img[y1][:, x0]
     d = img[y1][:, x1]
     return a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx + c * fy * (1 - fx) + d * fy * fx
+
+
+def build_device_cache(
+    dataset,
+    preprocess: PreprocessConf,
+    max_gt_boxes: int = 100,
+    rect_masks: bool = False,
+) -> Tuple[ImageBatch, GroundTruth]:
+    """Upload the WHOLE dataset to the device once (uint8 canvases + GT).
+
+    The TPU-native answer to the host-feed bound (VERDICT r3 item 3): on this
+    class of host the sustained 640² train rate is capped by host→device
+    transfer (~45 MB/s tunnel here: a batch-8 uint8 canvas feed alone caps at
+    ~36 img/s) — no host-side loader, C++ or otherwise, can beat the wire.
+    For fine-tune-scale datasets (COCO-subset: 256 images × 640² uint8 ≈
+    300 MB; a 16 GB chip holds thousands) the dataset crosses the wire ONCE;
+    every step then ships only a batch-size index array and the batch is
+    assembled ON DEVICE by :func:`gather_cached_batch` (augmentation was
+    already on-device). Streaming datasets keep the host feed
+    (``make_batches`` + the native JPEG loader in ``detax.serve.native``).
+    """
+    it = make_batches(
+        dataset, len(dataset), preprocess, max_gt_boxes=max_gt_boxes,
+        epochs=1, rect_masks=rect_masks, device_normalize=True,
+        shuffle=False,  # cache row i == dataset item i (indices address it)
+    )
+    return next(it)
+
+
+def make_cached_gather():
+    """Jitted on-device batch assembly: ``(cache_images, cache_gt, idx) →
+    (ImageBatch, GroundTruth)`` — a pure gather along the dataset dim."""
+    import jax
+
+    def gather(cache_images, cache_gt, idx):
+        import jax.numpy as jnp
+
+        take = lambda x: jnp.take(x, idx, axis=0)
+        return (
+            jax.tree_util.tree_map(take, cache_images),
+            jax.tree_util.tree_map(take, cache_gt),
+        )
+
+    return jax.jit(gather)
+
+
+def cached_index_batches(n: int, batch_size: int, seed: int = 0) -> Iterator[np.ndarray]:
+    """Infinite shuffled index stream over a device cache of ``n`` items."""
+    rng = np.random.RandomState(seed)
+    while True:
+        order = rng.permutation(n)
+        for start in range(0, n - batch_size + 1, batch_size):
+            yield order[start : start + batch_size].astype(np.int32)

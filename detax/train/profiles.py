@@ -253,7 +253,12 @@ def train_yolo(
     )
     images0, gt0 = next(batches)
     params = jax.jit(model.init)(jax.random.PRNGKey(seed), images0)
-    state, tx = create_train_state(params, rng=jax.random.PRNGKey(seed))
+    from detax.train.train_state import warmup_cosine_schedule
+
+    # warmup + cosine (same recipe shape as the CLI trainer): the
+    # constant-0.02 run destabilised the from-scratch objectness head early
+    schedule = warmup_cosine_schedule(0.02, steps, warmup_steps=min(300, steps // 10 + 1))
+    state, tx = create_train_state(params, rng=jax.random.PRNGKey(seed), learning_rate=schedule)
     step_fn = make_train_step(model, tx)
     t0 = time.time()
     for i in range(steps):
@@ -302,9 +307,11 @@ def train_flagship(
     base_conf=None,
     num_images: int = 256,
     log_every: int = 50,
+    dataset=None,
 ):
-    """Train the exact-profile flagship on synthetic COCO-style data;
-    returns (host params, conf)."""
+    """Train the exact-profile flagship on synthetic COCO-style data (or a
+    caller-supplied COCO-style ``dataset``, e.g. the photographic composite
+    set in detax.train.photo); returns (host params, conf)."""
     import time
 
     from detax.models import FasterRCNN
@@ -314,7 +321,9 @@ def train_flagship(
 
     conf = build_frcnn_conf(size, num_classes, "exact", base=base_conf)
     model = FasterRCNN(conf=conf, dtype=jnp.bfloat16)
-    ds = SyntheticCOCO(num_images=num_images, image_size=size, num_classes=num_classes, seed=seed)
+    ds = dataset if dataset is not None else SyntheticCOCO(
+        num_images=num_images, image_size=size, num_classes=num_classes, seed=seed
+    )
     batches = prefetch_batches(
         make_batches(ds, batch, conf.preprocess, max_gt_boxes=conf.max_gt_boxes)
     )
@@ -342,8 +351,10 @@ def eval_profile(
     seed: int = 1,
     base_conf=None,
     max_objects: int = 8,
+    dataset=None,
 ):
-    """mAP of one checkpoint under one profile on held-out synthetic data.
+    """mAP of one checkpoint under one profile on held-out synthetic data
+    (or a caller-supplied COCO-style ``dataset``).
 
     ``max_objects`` raises scene density — the honest stress for the
     proposal-count levers (p256/p192/p128), whose failure mode is dropping
@@ -355,7 +366,7 @@ def eval_profile(
     conf = build_frcnn_conf(size, num_classes, profile, base=base_conf)
     model = FasterRCNN(conf=conf, dtype=jnp.bfloat16)
     fwd = jax.jit(lambda p, im: model.apply(p, im))
-    ds = SyntheticCOCO(
+    ds = dataset if dataset is not None else SyntheticCOCO(
         num_images=eval_images, image_size=size, num_classes=num_classes, seed=seed,
         max_objects=max_objects,
     )

@@ -47,20 +47,22 @@ def main(batch=128):
     from detax.structures.image_batch import ImageBatch
 
     base = FasterRCNNConf(preprocess=PreprocessConf(image_size=SIZE))
+    # the exact benched serving_lean profile (keep in lockstep with
+    # bench.py's flagship config)
     conf = base.replace(
         rpn=base.rpn.replace(
-            pre_nms_topk=(2000, 512), post_nms_topk=(2000, 300),
+            pre_nms_topk=(2000, 384), post_nms_topk=(2000, 192),
             nms_impl="pallas", topk_impl="approx", topk_recall=0.8,
         ),
         roi=base.roi.replace(
-            nms_impl="pallas", topk_impl="approx", pre_nms_candidates=512,
+            nms_impl="pallas", topk_impl="approx", pre_nms_candidates=384,
             box_pooler=base.roi.box_pooler.replace(sampling_ratio=2, impl="pallas", keep_ph_pad=True),
         ),
     )
     model = FasterRCNN(conf=conf, dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
-    pixels = jnp.asarray(rng.randn(batch, SIZE, SIZE, 3), jnp.float32)
+    pixels = jnp.asarray(rng.randn(batch, SIZE, SIZE, 3), jnp.bfloat16)  # bench ships bf16
     images = ImageBatch.from_pixels(pixels)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), ImageBatch.from_pixels(pixels[:1]))
 

@@ -144,3 +144,37 @@ def test_coco_end_to_end_train_step_and_eval(coco_dir, tiny_detector):
     m = ev.summarize()
     assert set(m) >= {"mAP", "AP50", "AP75", "APs", "APm", "APl"}
     assert np.isfinite(m["mAP"])
+
+
+def test_device_cache_matches_dataset():
+    """The device-resident cache holds exactly the dataset's canvases + GT;
+    on-device gather assembles the same batch the host feed would build."""
+    import jax.numpy as jnp
+
+    from detax.configs.detector import PreprocessConf
+    from detax.train.coco import (
+        SyntheticCOCO,
+        build_device_cache,
+        cached_index_batches,
+        make_cached_gather,
+    )
+
+    ds = SyntheticCOCO(num_images=6, image_size=64, num_classes=5, cache=True)
+    images, gt = build_device_cache(ds, PreprocessConf(image_size=64), max_gt_boxes=8)
+    assert images.pixels.shape == (6, 64, 64, 3) and images.pixels.dtype == jnp.uint8
+
+    gather = make_cached_gather()
+    bi, bgt = gather(images, gt, np.asarray([4, 1], np.int32))
+    for row, di in enumerate([4, 1]):
+        img, boxes, classes = ds.get(di)
+        np.testing.assert_array_equal(np.asarray(bi.pixels[row]), img)
+        g = len(boxes)
+        np.testing.assert_allclose(np.asarray(bgt.boxes[row, :g]), boxes)
+        np.testing.assert_array_equal(np.asarray(bgt.classes[row, :g]), classes)
+        assert bool(np.all(np.asarray(bgt.valid[row, :g])))
+        assert not bool(np.any(np.asarray(bgt.valid[row, g:])))
+
+    # index stream covers the dataset each epoch
+    it = cached_index_batches(6, 2, seed=0)
+    seen = np.concatenate([next(it) for _ in range(3)])
+    assert sorted(seen.tolist()) == list(range(6))
