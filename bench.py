@@ -58,6 +58,7 @@ def _build(which: str):
         # at +0.000x — artifacts/dmap_retinanet_r3.json); 524 vs 537 img/s
         conf = RetinaNetConf(
             preprocess=PreprocessConf(image_size=SIZE),
+            final_nms_candidates=1024,
             nms_impl="pallas", topk_impl="two_stage", topk_recall=0.8,
         )
         return RetinaNet(conf=conf, dtype=jnp.bfloat16), "RetinaNet R50-FPN"

@@ -48,8 +48,14 @@ def _build_model(
         conf = RetinaNetConf(preprocess=pre, num_classes=num_classes)
         if profile == "tpu":
             # two-stage selection is candidate-set-faithful (ΔmAP +0.0000,
-            # artifacts/dmap_retinanet_r3.json); Pallas NMS exact
-            conf = conf.replace(topk_impl="two_stage", topk_recall=0.8, nms_impl="pallas")
+            # artifacts/dmap_retinanet_r3.json); Pallas NMS exact; final-NMS
+            # pool capped at 1024 (r4 lever: kills ~16 ms/batch of 0%-MFU
+            # argsort/gather plumbing; ΔmAP -0.0031 priced in
+            # artifacts/dmap_retinanet_r4.json)
+            conf = conf.replace(
+                topk_impl="two_stage", topk_recall=0.8, nms_impl="pallas",
+                final_nms_candidates=1024,
+            )
         return RetinaNet(conf=conf, dtype=jnp.bfloat16), conf
     if family == "yolo":
         if mask_on:

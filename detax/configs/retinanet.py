@@ -57,6 +57,13 @@ class RetinaNetConf(BaseConf):
     score_thresh: float = 0.05
     nms_thresh: float = 0.5
     topk_candidates: int = 1000  # per level, pre-NMS
+    # cap on the candidate pool entering the final class-aware NMS
+    # (0 = all levels' candidates, the reference-exact default). The b128
+    # HLO audit showed the argsort+gathers over the 5-level 5000-candidate
+    # pool at ~19 ms/batch with 0% MFU; a top-k cap is the same ΔmAP-priced
+    # lever family as the flagship's pre_nms_candidates / YOLO's
+    # topk_candidates (scripts/eval_dmap_retinanet.py prices it).
+    final_nms_candidates: int = 0
     detections_per_image: int = 100
     max_gt_boxes: int = 100
     nms_impl: str = "xla"  # "xla" | "pallas" (see RegionProposalNetworkConf)

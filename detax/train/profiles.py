@@ -103,7 +103,10 @@ def build_frcnn_conf(size: int, num_classes: int, profile: str, base=None):
     raise ValueError(f"unknown profile {profile!r}")
 
 
-RETINA_PROFILES = ("exact", "approx", "two_stage", "anchor", "serving")
+RETINA_PROFILES = (
+    "exact", "approx", "two_stage", "anchor", "serving", "serving_f512",
+    "serving_f1024", "serving_f512_k512",
+)
 
 
 def build_retinanet_conf(size: int, num_classes: int, profile: str, base=None):
@@ -132,6 +135,24 @@ def build_retinanet_conf(size: int, num_classes: int, profile: str, base=None):
     if profile == "serving":
         # the benched lever set: two-stage faithful selection + Pallas NMS
         return base.replace(topk_impl="two_stage", topk_recall=0.8, nms_impl="pallas")
+    if profile == "serving_f512":
+        # + final-NMS candidate cap (the r4 lever: the 5-level 5000-candidate
+        # argsort/gather pool measured ~19 ms/batch at b128, 0% MFU)
+        return base.replace(
+            topk_impl="two_stage", topk_recall=0.8, nms_impl="pallas",
+            final_nms_candidates=512,
+        )
+    if profile == "serving_f1024":
+        return base.replace(
+            topk_impl="two_stage", topk_recall=0.8, nms_impl="pallas",
+            final_nms_candidates=1024,
+        )
+    if profile == "serving_f512_k512":
+        # + per-level candidates 1000 -> 512
+        return base.replace(
+            topk_impl="two_stage", topk_recall=0.8, nms_impl="pallas",
+            final_nms_candidates=512, topk_candidates=512,
+        )
     raise ValueError(f"unknown retinanet profile {profile!r}")
 
 

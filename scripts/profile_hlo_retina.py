@@ -21,6 +21,7 @@ def main(batch=64, iters=5):
     conf = RetinaNetConf(
         preprocess=PreprocessConf(image_size=640),
         nms_impl="pallas", topk_impl="two_stage", topk_recall=0.8,
+        final_nms_candidates=1024,  # the benched r4 cap
     )
     model = RetinaNet(conf=conf, dtype=jnp.bfloat16)
     images = ImageBatch.from_pixels(jnp.zeros((batch, 640, 640, 3), jnp.bfloat16))
