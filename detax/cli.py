@@ -73,20 +73,24 @@ def _build_model(
     if num_classes != conf.roi.num_classes or mask_on:
         conf = conf.replace(roi=conf.roi.replace(num_classes=num_classes, mask_on=mask_on))
     if profile == "tpu":
-        # serving profile (see bench.py + detax/train/profiles.py): Pallas
-        # NMS + window-DMA ROIAlign at sampling_ratio 2 (measured
-        # quality-neutral lever set — serving_r2 in scripts/eval_dmap.py),
-        # approx pre-NMS top-k, 1000/level pre-NMS, test-time 300 proposals
+        # the benched serving_lean lever set (keep in lockstep with bench.py
+        # and detax/train/profiles.py): Pallas NMS + image-resident Pallas
+        # ROIAlign (sampling_ratio 2), approx pre-NMS top-k with 384/level,
+        # 192 test-time proposals, 384 final-NMS candidates — each lever
+        # ΔmAP-priced on standard AND dense scenes (artifacts/dmap_r3*.json,
+        # dmap_dense_r3.json: serving_lean is −0.0008 vs p192 dense)
         conf = conf.replace(
             rpn=conf.rpn.replace(
-                pre_nms_topk=(2000, 1000),
-                post_nms_topk=(2000, 300),
+                pre_nms_topk=(2000, 384),
+                post_nms_topk=(2000, 192),
                 nms_impl="pallas",
                 topk_impl="approx",
+                topk_recall=0.8,
             ),
             roi=conf.roi.replace(
                 nms_impl="pallas",
                 topk_impl="approx",
+                pre_nms_candidates=384,
                 box_pooler=conf.roi.box_pooler.replace(
                     sampling_ratio=2, impl="pallas", keep_ph_pad=True
                 ),
@@ -116,8 +120,17 @@ def cmd_train(args: argparse.Namespace) -> None:
     from detax.train.step import make_train_step
     from detax.train.train_state import create_train_state, make_optimizer, warmup_cosine_schedule
 
+    if args.checkpoint_dir == "auto":
+        # settings tier (reference dynaconf settings.toml/.env analog):
+        # detax-settings.toml [default] ckp_dir, or $DETAX_CKP_DIR
+        from detax import settings
+
+        args.checkpoint_dir = settings.get("ckp_dir")
+        print(f"checkpoint dir from settings: {args.checkpoint_dir}")
+
     model, conf = _build_model(
-        args.image_size, args.num_classes, mask_on=args.masks, family=args.model
+        args.image_size, args.num_classes, mask_on=args.masks, family=args.model,
+        profile=args.profile,
     )
     if args.coco_json:
         dataset = COCOReader(args.coco_json, args.coco_images)
@@ -328,7 +341,11 @@ def main() -> None:
     t.add_argument("--coco-json", default=None)
     t.add_argument("--coco-images", default=None)
     t.add_argument("--synthetic-images", type=int, default=256)
-    t.add_argument("--checkpoint-dir", default=None)
+    t.add_argument(
+        "--checkpoint-dir", default=None,
+        help="checkpoint directory; 'auto' resolves ckp_dir from the "
+        "settings tier (detax-settings.toml / $DETAX_CKP_DIR)",
+    )
     t.add_argument(
         "--resume", action="store_true",
         help="restore the latest full train state (params/opt/step/rng) from "
@@ -340,6 +357,13 @@ def main() -> None:
     )
     t.add_argument("--log-every", type=int, default=10)
     t.add_argument("--no-augment", action="store_true")
+    t.add_argument(
+        "--profile", choices=["reference", "tpu"], default="reference",
+        help="'reference' trains the exact Appendix-B hyperparameters "
+        "(12000 pre-NMS RPN candidates); 'tpu' trains the serving profile "
+        "(2000 candidates, Pallas pooler via its custom VJP) - the fast "
+        "fine-tune path, quality-priced in artifacts/dmap_*.json",
+    )
     t.add_argument("--eval-images", type=int, default=0, help="run mAP eval on this many held-out images after training")
     t.add_argument("--masks", action="store_true", help="Mask R-CNN mode (instance masks; synthetic data uses exact box masks)")
     t.add_argument(

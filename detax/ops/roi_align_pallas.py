@@ -1124,7 +1124,7 @@ def _multiscale_roi_align_pallas_impl(
                 pl.BlockSpec((_WIN_YP, _WIN_YP * WIN_X), lambda i: (0, 0)),
             ]
             + dq_specs
-            + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
+            + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(num_levels)],
             out_specs=pl.BlockSpec((p * rows, c), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((n_pad * rows, c), dtype),
             scratch_shapes=scratch,
@@ -1174,7 +1174,7 @@ def _multiscale_roi_align_pallas_impl(
             pl.BlockSpec((p * _PH, WIN_X), lambda i: (i, 0)),  # wx (compact)
             pl.BlockSpec((WIN_Y, WIN_Y * WIN_X), lambda i: (0, 0)),
         ]
-        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(num_levels)],
         out_specs=pl.BlockSpec((p * _ROWS, c), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_pad * _ROWS, c), dtype),
         scratch_shapes=scratch,
