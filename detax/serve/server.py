@@ -6,6 +6,10 @@ request/response *contract* a detection server needs:
   POST /detect   body = raw RGB uint8 pixels, header ``X-Image-Shape: H,W,3``
                  → JSON {"boxes": [[x1,y1,x2,y2]..], "scores": [..],
                          "classes": [..]} in original-image coordinates.
+  POST /detect_batch  body = N frames of (12-byte h,w,c header + pixels)
+                 concatenated (``encode_request`` framing) → JSON
+                 {"results": [per-image dicts]} — one round-trip for N
+                 images (throughput clients).
   GET  /stats    → JSON {"p50_ms", "p90_ms", "p99_ms", "completed",
                           "pending"} — the BASELINE "p50 request latency".
 
@@ -128,6 +132,16 @@ class DetectionService:
         rid = self.batcher.submit(encode_request(image))
         out = self.batcher.wait_result(rid)
         return json.loads(out.decode())
+
+    def detect_many(self, images: list) -> list:
+        """Blocking multi-image detect: all images are submitted up front
+        (they coalesce into device batches together) and the call returns
+        when every result is in. One HTTP round-trip via ``/detect_batch``
+        amortizes the per-request host cost — on 1-core hosts the HTTP
+        front end, not the chip, bounds per-request throughput (measured:
+        artifacts/serve_load_r4.json)."""
+        rids = [self.batcher.submit(encode_request(img)) for img in images]
+        return [json.loads(self.batcher.wait_result(r).decode()) for r in rids]
 
     def stats(self) -> dict:
         return {
@@ -298,6 +312,34 @@ def serve(service: DetectionService, port: int = 8500) -> ThreadingHTTPServer:
                 self.end_headers()
 
         def do_POST(self):
+            if self.path == "/detect_batch":
+                # body = N frames, each the 12-byte (h, w, c) header + raw
+                # uint8 pixels (encode_request framing), concatenated.
+                # → {"results": [per-image {boxes, scores, classes}]}
+                try:
+                    length = int(self.headers["Content-Length"])
+                    raw = self.rfile.read(length)
+                    images, off = [], 0
+                    while off < len(raw):
+                        h, w, c = _HEADER.unpack(raw[off : off + _HEADER.size])
+                        end = off + _HEADER.size + h * w * c
+                        images.append(decode_request(raw[off:end]))
+                        off = end
+                    if not images:
+                        raise ValueError("empty batch")
+                    body = json.dumps({"results": service.detect_many(images)}).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except Exception as e:
+                    body = json.dumps({"error": str(e)}).encode()
+                    self.send_response(400)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                return
             if self.path != "/detect":
                 self.send_response(404)
                 self.send_header("Content-Length", "0")

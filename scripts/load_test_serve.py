@@ -29,16 +29,36 @@ import time
 import numpy as np
 
 
-def _one_client(host, port, height, width, stop_at, lat_ms, errors, seed):
+def _one_client(host, port, height, width, stop_at, lat_ms, errors, seed, per_req=1,
+                jpeg=False):
     rng = np.random.RandomState(seed)
     img = (rng.rand(height, width, 3) * 255).astype(np.uint8)
-    body = img.tobytes()
-    headers = {"X-Image-Shape": f"{height},{width},3"}
+    if jpeg:
+        # photographic-entropy JPEG payload: the server's native libjpeg
+        # decode+letterbox path (smooth gradient + noise ≈ realistic size)
+        import io
+
+        from PIL import Image
+
+        yy, xx = np.mgrid[0:height, 0:width]
+        base = np.stack([yy % 256, xx % 256, (yy + xx) % 256], -1).astype(np.uint8)
+        img = ((base.astype(np.int32) + img // 4) % 256).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=85)
+        path, body, headers = "/detect", buf.getvalue(), {"Content-Type": "image/jpeg"}
+    elif per_req > 1:
+        from detax.serve.server import encode_request
+
+        path, body, headers = (
+            "/detect_batch", b"".join(encode_request(img) for _ in range(per_req)), {},
+        )
+    else:
+        path, body, headers = "/detect", img.tobytes(), {"X-Image-Shape": f"{height},{width},3"}
     while time.time() < stop_at:
         t0 = time.time()
         try:
             c = http.client.HTTPConnection(host, port, timeout=300)
-            c.request("POST", "/detect", body=body, headers=headers)
+            c.request("POST", path, body=body, headers=headers)
             r = c.getresponse()
             payload = r.read()
             c.close()
@@ -66,6 +86,14 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--warmup-seconds", type=float, default=5.0)
+    ap.add_argument(
+        "--images-per-request", type=int, default=1,
+        help=">1 drives POST /detect_batch (amortizes the per-request host cost)",
+    )
+    ap.add_argument(
+        "--jpeg", action="store_true",
+        help="send JPEG bodies (native libjpeg decode+letterbox on the server)",
+    )
     ap.add_argument("--out", default="artifacts/serve_load_r4.json")
     args = ap.parse_args()
 
@@ -75,7 +103,8 @@ def main() -> None:
     ts = [
         threading.Thread(
             target=_one_client,
-            args=(args.host, args.port, args.height, args.width, stop, warm_lat, warm_err, i),
+            args=(args.host, args.port, args.height, args.width, stop, warm_lat, warm_err, i,
+                  args.images_per_request, args.jpeg),
         )
         for i in range(args.clients)
     ]
@@ -92,7 +121,8 @@ def main() -> None:
     ts = [
         threading.Thread(
             target=_one_client,
-            args=(args.host, args.port, args.height, args.width, stop, lat_ms, errors, 1000 + i),
+            args=(args.host, args.port, args.height, args.width, stop, lat_ms, errors, 1000 + i,
+                  args.images_per_request, args.jpeg),
         )
         for i in range(args.clients)
     ]
@@ -108,10 +138,13 @@ def main() -> None:
     result = {
         "offered_load": {
             "clients_closed_loop": args.clients,
+            "images_per_request": args.images_per_request,
+            "payload": "jpeg" if args.jpeg else "raw-uint8",
             "image_shape": [args.height, args.width, 3],
             "duration_s": round(elapsed, 2),
         },
         "achieved_rps": round(len(lat) / elapsed, 2),
+        "achieved_images_per_s": round(len(lat) * args.images_per_request / elapsed, 2),
         "client_latency_ms": {
             "p50": round(float(np.percentile(lat, 50)), 2) if len(lat) else None,
             "p90": round(float(np.percentile(lat, 90)), 2) if len(lat) else None,

@@ -129,3 +129,38 @@ def test_http_contract(rng):
     finally:
         server.shutdown()
         service.stop()
+
+
+def test_http_detect_batch(rng):
+    """/detect_batch: N header-framed images in ONE request → {"results":
+    [...]} — amortizes the per-request HTTP host cost (1-core hosts measure
+    the front end, not the chip, as the per-request bound)."""
+    import http.client
+
+    from detax.serve.server import encode_request
+
+    service = DetectionService(
+        _FakeModel(), params={}, preprocess_conf=PreprocessConf(image_size=32),
+        max_batch=4, batch_timeout_ms=5,
+    )
+    service.start()
+    server = serve(service, port=18532)
+    try:
+        imgs = [(rng.rand(64, 64, 3) * 255).astype(np.uint8) for _ in range(3)]
+        body = b"".join(encode_request(im) for im in imgs)
+        conn = http.client.HTTPConnection("127.0.0.1", 18532, timeout=30)
+        conn.request("POST", "/detect_batch", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        data = json.loads(resp.read())
+        assert len(data["results"]) == 3
+        for r in data["results"]:
+            assert r["scores"] == [1.0]
+            np.testing.assert_allclose(r["boxes"][0], [20, 20, 40, 40])
+        # malformed batch → JSON 400
+        conn.request("POST", "/detect_batch", body=b"")
+        r = conn.getresponse()
+        assert r.status == 400 and "error" in json.loads(r.read())
+    finally:
+        server.shutdown()
+        service.stop()
