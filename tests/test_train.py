@@ -224,7 +224,7 @@ def test_cli_train_resume_wiring(tmp_path):
             num_classes=5, seed=0, coco_json=None, coco_images=None,
             synthetic_images=8, checkpoint_dir=str(tmp_path / "ckpt"),
             log_every=1, no_augment=True, eval_images=0, masks=False,
-            feed="device", resume=resume, save_every=1,
+            feed="device", resume=resume, save_every=1, profile="reference",
         )
 
     cmd_train(args(2, resume=False))
