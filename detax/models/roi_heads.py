@@ -320,33 +320,41 @@ def fast_rcnn_inference(
       proposal_boxes ``(B, P, 4)``; image_sizes ``(B, 2)``.
     """
     probs = jax.nn.softmax(scores, axis=-1)[..., :-1]  # (B, P, C)
-    boxes = box_transform.apply_deltas(
-        deltas,
-        proposal_boxes,
+    b, p, c = probs.shape
+
+    # select BEFORE decode (the same lever the RPN selection uses,
+    # models/rpn.py): of the P·C (proposal, class) pairs only the top
+    # pre_nms_candidates by gated probability ever get their deltas
+    # decoded/clipped — the shipping form decoded all P·C boxes first
+    # (~15k boxes/image at serving shapes) and gated on the results.
+    # Semantic delta, dmAP-priced at ±0: a candidate whose box decodes
+    # empty now *occupies* an (invalid) candidate slot instead of freeing
+    # it for the next-best score; with k ≫ detections_per_image this never
+    # changes the kept set in practice.
+    gate = (probs > conf.score_thresh) & proposal_valid[..., None]
+    flat_scores = jnp.where(
+        gate.reshape(b, p * c), probs.reshape(b, p * c), -jnp.inf
+    )
+    k = min(conf.pre_nms_candidates, p * c)
+    if conf.topk_impl == "approx" and k < p * c:
+        cand_scores, cand_idx = jax.lax.approx_max_k(flat_scores, k)
+    else:
+        cand_scores, cand_idx = jax.lax.top_k(flat_scores, k)
+    cand_classes = (cand_idx % c).astype(jnp.int32)
+    cand_deltas = jnp.take_along_axis(
+        deltas.reshape(b, p * c, 4), cand_idx[..., None], axis=1
+    )  # (B, k, 4)
+    cand_prop = jnp.take_along_axis(
+        proposal_boxes, (cand_idx // c)[..., None], axis=1
+    )  # (B, k, 4)
+    cand_boxes = box_transform.apply_deltas(
+        cand_deltas,
+        cand_prop,
         conf.box2box_transform.weights,
         conf.box2box_transform.scale_clamp,
-    )  # (B, P, C, 4)
-    boxes = box_ops.clip(boxes, image_sizes[:, 0:1, None], image_sizes[:, 1:2, None])
-
-    b, p, c = probs.shape
-    flat_scores = probs.reshape(b, p * c)
-    flat_boxes = boxes.reshape(b, p * c, 4)
-    flat_classes = jnp.tile(jnp.arange(c, dtype=jnp.int32)[None, None, :], (b, p, 1)).reshape(b, p * c)
-    gate = (
-        (probs > conf.score_thresh)
-        & proposal_valid[..., None]
-        & box_ops.nonempty(boxes)
-    ).reshape(b, p * c)
-
-    k = min(conf.pre_nms_candidates, p * c)
-    gated = jnp.where(gate, flat_scores, -jnp.inf)
-    if conf.topk_impl == "approx" and k < p * c:
-        cand_scores, cand_idx = jax.lax.approx_max_k(gated, k)
-    else:
-        cand_scores, cand_idx = jax.lax.top_k(gated, k)
-    cand_boxes = jnp.take_along_axis(flat_boxes, cand_idx[..., None], axis=1)
-    cand_classes = jnp.take_along_axis(flat_classes, cand_idx, axis=1)
-    cand_valid = cand_scores > -jnp.inf
+    )
+    cand_boxes = box_ops.clip(cand_boxes, image_sizes[:, 0:1], image_sizes[:, 1:2])
+    cand_valid = (cand_scores > -jnp.inf) & box_ops.nonempty(cand_boxes)
 
     db, ds, dc, ok = multiclass_nms(
         cand_boxes,

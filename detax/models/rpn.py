@@ -153,14 +153,13 @@ def predict_proposals(
     if conf.nms_impl == "pallas":
         # Per-level NMS keep masks (boxes of different levels never suppress
         # each other — the level-offset trick of the reference is equivalent
-        # to per-level passes), whole batch per kernel call, then one global
-        # top-k over the kept candidates' scores.
-        from detax.ops.nms_pallas import nms_keep_sorted_batched
+        # to per-level passes), ALL levels stacked into one kernel call (the
+        # per-level-call form paid ~87 µs × L of in-graph call overhead —
+        # docs/kernel-notebook.md §NMS), then one global top-k over the kept
+        # candidates' scores.
+        from detax.ops.nms_pallas import nms_keep_sorted_multilevel
 
-        keeps = [
-            nms_keep_sorted_batched(b, v, conf.nms_thresh)
-            for b, v in zip(top_boxes, top_valid)
-        ]
+        keeps = nms_keep_sorted_multilevel(top_boxes, top_valid, conf.nms_thresh)
         boxes = jnp.concatenate(top_boxes, axis=1)
         scores = jnp.concatenate(top_scores, axis=1)
         levels = jnp.concatenate(top_levels, axis=1)

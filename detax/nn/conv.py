@@ -34,18 +34,32 @@ class FrozenBatchNorm(nn.Module):
     features: int
     eps: float = 1e-5
 
-    @nn.compact
+    def setup(self):
+        self.weight = self.param("weight", nn.initializers.ones, (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        self.running_mean = self.param(
+            "running_mean", nn.initializers.zeros, (self.features,)
+        )
+        self.running_var = self.param(
+            "running_var", nn.initializers.ones, (self.features,)
+        )
+
+    def scale_shift(self):
+        """The folded per-channel affine ``(scale, shift)`` in fp32.
+
+        For consumers that fold the frozen affine into an adjacent op
+        (e.g. the stem folds ``scale`` into its conv kernel and applies
+        ``shift`` after the max-pool — see detax/nn/stem.py)."""
+        scale = self.weight * jax.lax.rsqrt(self.running_var + self.eps)
+        shift = self.bias - self.running_mean * scale
+        return scale, shift
+
     def __call__(self, x):
-        weight = self.param("weight", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
-        var = self.param("running_var", nn.initializers.ones, (self.features,))
         # scale/shift derived in fp32, applied in x's dtype: fp32-affine on a
         # bf16 activation promotes the whole (B, H, W, C) intermediate to f32
         # (measured: ~840 MB f32 tensors at 640²/b128 between backbone
         # fusions — the round-3 HLO audit's top bandwidth leak)
-        scale = weight * jax.lax.rsqrt(var + self.eps)
-        shift = bias - mean * scale
+        scale, shift = self.scale_shift()
         return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 

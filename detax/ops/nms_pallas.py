@@ -195,6 +195,60 @@ def nms_keep_sorted(
     )[0]
 
 
+def nms_keep_sorted_multilevel(
+    boxes_list,
+    valid_list,
+    iou_threshold: float,
+    interpret: Optional[bool] = None,
+):
+    """Per-level greedy-NMS keep masks in ONE kernel call.
+
+    FPN levels never suppress each other, so per-level NMS is independent —
+    the shipping RPN path issued one :func:`nms_keep_sorted_batched` per
+    level (5 calls at serving shapes). Each in-graph kernel call costs ~87 µs
+    of fixed overhead plus pipeline drain (docs/kernel-notebook.md §NMS), so
+    the levels are instead stacked on the batch axis — (L·B, N_max) rows,
+    shorter levels padded with invalid slots — and suppressed in a single
+    call whose grid pipelines all L·B images.
+
+    Args:
+      boxes_list: per level ``(B, N_l, 4)`` score-descending boxes.
+      valid_list: per level ``(B, N_l)`` bool.
+
+    Returns:
+      List of per-level ``(B, N_l)`` bool keep masks — bit-identical to
+      per-level :func:`nms_keep_sorted_batched` calls (pad slots are invalid
+      and greedy NMS never lets an invalid row suppress anything).
+    """
+    assert len(boxes_list) == len(valid_list) and boxes_list
+    if len(boxes_list) == 1:
+        return [
+            nms_keep_sorted_batched(
+                boxes_list[0], valid_list[0], iou_threshold, interpret=interpret
+            )
+        ]
+    b = boxes_list[0].shape[0]
+    n_max = max(bx.shape[1] for bx in boxes_list)
+    stacked_b, stacked_v = [], []
+    for bx, v in zip(boxes_list, valid_list):
+        pad = n_max - bx.shape[1]
+        if pad:
+            bx = jnp.pad(bx, ((0, 0), (0, pad), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, pad)))
+        stacked_b.append(bx)
+        stacked_v.append(v)
+    keep = nms_keep_sorted_batched(
+        jnp.concatenate(stacked_b, axis=0),
+        jnp.concatenate(stacked_v, axis=0),
+        iou_threshold,
+        interpret=interpret,
+    )
+    return [
+        keep[i * b : (i + 1) * b, : boxes_list[i].shape[1]]
+        for i in range(len(boxes_list))
+    ]
+
+
 def nms_select_pallas(
     boxes: Array,
     scores: Array,

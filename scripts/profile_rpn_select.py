@@ -30,7 +30,7 @@ def _timed(name, fn, *args, iters=20, warmup=2):
     return dt
 
 
-def main(batch=128):
+def main(batch=128, pre_k_arg=1000, post_k_arg=300):
     from detax.configs import FasterRCNNConf, PreprocessConf
     from detax.models.backbone import fpn_output_shapes
     from detax.models.rpn import predict_proposals, rpn_anchors
@@ -40,7 +40,7 @@ def main(batch=128):
 
     base = FasterRCNNConf(preprocess=PreprocessConf(image_size=SIZE))
     conf = base.rpn.replace(
-        pre_nms_topk=(2000, 1000), post_nms_topk=(2000, 300),
+        pre_nms_topk=(2000, pre_k_arg), post_nms_topk=(2000, post_k_arg),
         nms_impl="pallas", topk_impl="approx",
     )
     strides_map = {k: v.stride for k, v in fpn_output_shapes(base.backbone).items()}

@@ -309,3 +309,42 @@ def test_yolo_select_before_decode_matches_decode_all(images):
         np.asarray(dets.scores), np.asarray(ds), rtol=1e-5, atol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(dets.classes), np.asarray(dc))
+
+
+def test_stem_affine_fold_matches_reference_order():
+    """Folded stem (scale-in-kernel, shift+ReLU after pool) == the reference
+    op order conv -> frozen-BN affine -> ReLU -> maxpool (exact up to f32
+    rounding of the kernel scaling; the pool/shift reorder is bit-exact by
+    monotonicity)."""
+    import flax.linen as nn_
+    import jax
+    import jax.numpy as jnp
+
+    from detax.nn.stem import BasicStem
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+    stem = BasicStem(out_channels=16, norm="frozen_bn")
+    params = jax.jit(stem.init)(jax.random.PRNGKey(0), x)
+    # non-trivial frozen stats (negative scales included via weight sign)
+    p = jax.tree_util.tree_map(lambda a: a, params)["params"]
+    fb = dict(p["frozen_bn"])
+    fb["weight"] = jnp.asarray(rng.randn(16), jnp.float32)
+    fb["bias"] = jnp.asarray(rng.randn(16), jnp.float32)
+    fb["running_mean"] = jnp.asarray(rng.randn(16), jnp.float32)
+    fb["running_var"] = jnp.asarray(rng.rand(16) + 0.5, jnp.float32)
+    p = {**p, "frozen_bn": fb}
+
+    got = stem.apply({"params": p}, x)
+
+    # reference order, built from the same parameters
+    scale = fb["weight"] * jax.lax.rsqrt(fb["running_var"] + 1e-5)
+    shift = fb["bias"] - fb["running_mean"] * scale
+    y = jax.lax.conv_general_dilated(
+        x, p["stem_conv_kernel"], (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = nn_.relu(y * scale + shift)
+    want = nn_.max_pool(y, window_shape=(3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)

@@ -63,3 +63,23 @@ def test_batched_classes_independent(rng):
     )
     got = np.asarray(idx)[np.asarray(ok)].tolist()
     assert got == want
+
+
+def test_multilevel_matches_per_level(rng):
+    """One stacked kernel call == per-level calls, including length padding."""
+    from detax.ops.nms_pallas import nms_keep_sorted_batched, nms_keep_sorted_multilevel
+
+    b = 3
+    lens = (96, 64, 30)
+    boxes_l, valid_l = [], []
+    for n in lens:
+        bx = np.stack([clustered_boxes(rng, n)[0] for _ in range(b)])
+        order = np.argsort(-rng.rand(b, n), axis=1)
+        bx = np.take_along_axis(bx, order[..., None], axis=1)
+        v = rng.rand(b, n) > 0.2
+        boxes_l.append(jnp.asarray(bx, jnp.float32))
+        valid_l.append(jnp.asarray(v))
+    got = nms_keep_sorted_multilevel(boxes_l, valid_l, 0.5, interpret=True)
+    for bx, v, g in zip(boxes_l, valid_l, got):
+        want = nms_keep_sorted_batched(bx, v, 0.5, interpret=True)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(want))
