@@ -94,7 +94,10 @@ class ROIConf(BaseConf):
     detections_per_image: int = 100
     smooth_l1_beta: float = 0.0
     # static cap on (proposal, class) candidates entering final NMS — the
-    # TPU replacement for the reference's dynamic score-threshold filtering
+    # TPU replacement for the reference's dynamic score-threshold filtering.
+    # Counted over PRE-decode (gated-score) candidates: a candidate whose
+    # box later decodes/clips to empty still occupies a slot rather than
+    # yielding it to the next-best score (select-before-decode; dmAP ±0)
     pre_nms_candidates: int = 1000
     nms_impl: str = "xla"  # "xla" | "pallas" (see RegionProposalNetworkConf)
     # candidate-cap selection: "exact" (lax.top_k) | "approx"

@@ -341,6 +341,15 @@ def fast_rcnn_inference(
     else:
         cand_scores, cand_idx = jax.lax.top_k(flat_scores, k)
     cand_classes = (cand_idx % c).astype(jnp.int32)
+    if deltas.shape[2] != c:
+        # ADVICE r4: the flat (B, P·C, 4) gather below hard-assumes
+        # class-specific regression. Make the unsupported case
+        # (cls_agnostic_bbox_reg, K=1) fail loudly instead of with a
+        # shape error three lines down.
+        raise ValueError(
+            f"fast_rcnn_inference expects class-specific deltas (B,P,{c},4); "
+            f"got K={deltas.shape[2]} (class-agnostic regression unsupported)"
+        )
     cand_deltas = jnp.take_along_axis(
         deltas.reshape(b, p * c, 4), cand_idx[..., None], axis=1
     )  # (B, k, 4)

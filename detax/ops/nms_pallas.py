@@ -228,6 +228,12 @@ def nms_keep_sorted_multilevel(
             )
         ]
     b = boxes_list[0].shape[0]
+    # ADVICE r4: level-stacking on the batch axis silently assumes every
+    # level shares the batch size (true at the RPN call site) — assert it.
+    assert all(bx.shape[0] == b for bx in boxes_list), (
+        "all levels must share batch size: "
+        f"{[bx.shape[0] for bx in boxes_list]}"
+    )
     n_max = max(bx.shape[1] for bx in boxes_list)
     stacked_b, stacked_v = [], []
     for bx, v in zip(boxes_list, valid_list):
