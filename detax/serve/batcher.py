@@ -47,6 +47,14 @@ def _load_library() -> ctypes.CDLL:
             ctypes.c_void_p,
             ctypes.c_size_t,
         ]
+        lib.detax_batcher_next_batch2.restype = ctypes.c_size_t
+        lib.detax_batcher_next_batch2.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
         lib.detax_batcher_post_result.argtypes = [
             ctypes.c_void_p,
             ctypes.c_uint64,
@@ -66,6 +74,7 @@ def _load_library() -> ctypes.CDLL:
         lib.detax_batcher_latency_percentile.argtypes = [ctypes.c_void_p, ctypes.c_double]
         lib.detax_batcher_completed.restype = ctypes.c_uint64
         lib.detax_batcher_completed.argtypes = [ctypes.c_void_p]
+        lib.detax_batcher_reset_stats.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return lib
 
@@ -87,13 +96,33 @@ class DynamicBatcher:
 
     def next_batch(self) -> Tuple[List[int], np.ndarray]:
         """Runner thread: block for the next batch. Returns (ids, payloads)
-        where payloads is (n, item_bytes) uint8."""
-        ids = (ctypes.c_uint64 * self.max_batch)()
-        buf = np.zeros((self.max_batch, self.item_bytes), np.uint8)
+        where payloads is (n, item_bytes) uint8 — a view into a buffer
+        reused across calls (one runner thread; consume before the next
+        call). A fresh np.zeros here cost max_batch*item_bytes of memset
+        per batch (128 MB at 32x4MB) on the hot path."""
+        if not hasattr(self, "_batch_buf"):
+            self._batch_buf = np.empty((self.max_batch, self.item_bytes), np.uint8)
+            self._batch_ids = (ctypes.c_uint64 * self.max_batch)()
+        ids, buf = self._batch_ids, self._batch_buf
         n = self._lib.detax_batcher_next_batch(
             self._handle, ids, buf.ctypes.data_as(ctypes.c_void_p), self.item_bytes
         )
         return list(ids[:n]), buf[:n]
+
+    def next_batch_with_lens(self) -> Tuple[List[int], np.ndarray, List[int]]:
+        """``next_batch`` + each payload's true byte length — the serve
+        runner hands (pointer, len) views straight to the native jpeg batch
+        decoder without copying or scanning for payload ends."""
+        if not hasattr(self, "_batch_buf"):
+            self._batch_buf = np.empty((self.max_batch, self.item_bytes), np.uint8)
+            self._batch_ids = (ctypes.c_uint64 * self.max_batch)()
+        if not hasattr(self, "_batch_lens"):
+            self._batch_lens = (ctypes.c_uint64 * self.max_batch)()
+        ids, buf, lens = self._batch_ids, self._batch_buf, self._batch_lens
+        n = self._lib.detax_batcher_next_batch2(
+            self._handle, ids, buf.ctypes.data_as(ctypes.c_void_p), self.item_bytes, lens
+        )
+        return list(ids[:n]), buf[:n], list(lens[:n])
 
     def post_result(self, request_id: int, payload: bytes) -> None:
         self._lib.detax_batcher_post_result(self._handle, request_id, payload, len(payload))
@@ -111,6 +140,10 @@ class DynamicBatcher:
 
     def completed(self) -> int:
         return self._lib.detax_batcher_completed(self._handle)
+
+    def reset_stats(self) -> None:
+        """Clear the latency reservoir + completed counter (per-run windows)."""
+        self._lib.detax_batcher_reset_stats(self._handle)
 
     def shutdown(self) -> None:
         """Wake all blocked next_batch/wait_result callers (they return

@@ -55,6 +55,18 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ]
+            lib.detax_jpeg_letterbox_yuv.restype = ctypes.c_int
+            lib.detax_jpeg_letterbox_yuv.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.detax_jpeg_letterbox_yuv_batch.restype = ctypes.c_int
+            lib.detax_jpeg_letterbox_yuv_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ]
             _LIB = lib
         except Exception:
             _FAILED = True
@@ -129,3 +141,121 @@ def decode_letterbox(data: bytes, canvas: int) -> Tuple[np.ndarray, float, int, 
     if rc:
         raise ValueError(f"jpeg letterbox failed (rc={rc})")
     return out, scale.value, nh.value, nw.value
+
+
+def yuv_slot_bytes(canvas: int) -> int:
+    """Bytes of one planar-4:2:0 slot: Y (S,S) then interleaved CbCr (S/2,S/2,2)."""
+    return canvas * canvas * 3 // 2
+
+
+def _rgb_to_yuv_slot(canvas_rgb: np.ndarray, canvas: int, nh: int, nw: int) -> np.ndarray:
+    """Fallback: build the planar-4:2:0 slot from an RGB letterbox canvas
+    (BT.601 full-range, the JPEG convention). Used when libjpeg is absent."""
+    f = canvas_rgb.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    half = canvas // 2
+    slot = np.empty(yuv_slot_bytes(canvas), np.uint8)
+    slot[: canvas * canvas] = np.clip(y + 0.5, 0, 255).astype(np.uint8).ravel()
+    c = np.stack([cb, cr], -1).reshape(half, 2, half, 2, 2).mean((1, 3))
+    # neutralize chroma in the padded region so padding decodes to black
+    nh2, nw2 = (nh + 1) // 2, (nw + 1) // 2
+    c[nh2:, :] = 128.0
+    c[:, nw2:] = 128.0
+    slot[canvas * canvas :] = np.clip(c + 0.5, 0, 255).astype(np.uint8).ravel()
+    return slot
+
+
+def decode_letterbox_yuv(data: bytes, canvas: int) -> Tuple[np.ndarray, float, int, int]:
+    """JPEG bytes → planar-4:2:0 letterbox slot (see ``yuv_slot_bytes``) +
+    (scale, nh, nw). The serve fast path: YCbCr decode skips libjpeg's color
+    conversion, chroma is resized at half resolution, and the slot is HALF
+    the wire bytes of an RGB canvas — the device does chroma upsample +
+    YUV→RGB + normalize fused into the detection forward."""
+    lib = _load()
+    if lib is None:
+        rgb, s, nh, nw = decode_letterbox(data, canvas)
+        return _rgb_to_yuv_slot(rgb, canvas, nh, nw), s, nh, nw
+    out = np.empty(yuv_slot_bytes(canvas), np.uint8)
+    scale = ctypes.c_float()
+    nh, nw = ctypes.c_int(), ctypes.c_int()
+    rc = lib.detax_jpeg_letterbox_yuv(
+        data, len(data), canvas, out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(scale), ctypes.byref(nh), ctypes.byref(nw),
+    )
+    if rc:
+        raise ValueError(f"jpeg letterbox_yuv failed (rc={rc})")
+    return out, scale.value, nh.value, nw.value
+
+
+def decode_letterbox_yuv_batch(
+    payloads: list, canvas: int, out: Optional[np.ndarray] = None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Decode a whole device batch of JPEGs in ONE GIL-free native call.
+
+    Returns (slots (n, slot_bytes) uint8, sizes (n, 2) int32, scales (n,)
+    float32, n_failures). ``out`` may be a preallocated (≥n, slot_bytes)
+    buffer (the serve runner reuses one per bucket — no per-batch alloc).
+    Failed decodes leave a black slot with size (0, 0).
+    """
+    n = len(payloads)
+    slot = yuv_slot_bytes(canvas)
+    if out is None:
+        out = np.empty((n, slot), np.uint8)
+    sizes = np.zeros((n, 2), np.int32)
+    scales = np.ones((n,), np.float32)
+    lib = _load()
+    if lib is None:
+        fails = 0
+        for i, p in enumerate(payloads):
+            try:
+                out[i], scales[i], sizes[i, 0], sizes[i, 1] = decode_letterbox_yuv(
+                    bytes(p), canvas
+                )
+            except ValueError:
+                out[i, : canvas * canvas] = 0
+                out[i, canvas * canvas :] = 128
+                fails += 1
+        return out[:n], sizes, scales, fails
+    bufs = [bytes(p) for p in payloads]
+    datas = (ctypes.c_char_p * n)(*bufs)
+    lens = (ctypes.c_size_t * n)(*[len(b) for b in bufs])
+    fails = lib.detax_jpeg_letterbox_yuv_batch(
+        datas, lens, n, canvas, out.ctypes.data_as(ctypes.c_void_p),
+        scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return out[:n], sizes, scales, fails
+
+
+def decode_letterbox_yuv_batch_view(
+    buf: np.ndarray,
+    lens: list,
+    offsets: Optional[list],
+    canvas: int,
+    out: np.ndarray,
+    sizes: np.ndarray,
+    scales: np.ndarray,
+) -> int:
+    """Zero-copy batch decode: jpeg payloads live at rows of ``buf`` (the
+    batcher's stride buffer); pointers are computed in place — no bytes()
+    materialization. ``offsets[i]`` is an extra byte offset into row i (used
+    to skip a response-format marker prefix). Requires the native lib
+    (caller checks ``have_native_loader``). Returns the failure count."""
+    lib = _load()
+    n = len(lens)
+    row = buf.strides[0]
+    base = buf.ctypes.data
+    offs = offsets or [0] * n
+    datas = (ctypes.c_char_p * n)()
+    clens = (ctypes.c_size_t * n)()
+    for i in range(n):
+        datas[i] = ctypes.cast(base + i * row + offs[i], ctypes.c_char_p)
+        clens[i] = lens[i] - offs[i]
+    return lib.detax_jpeg_letterbox_yuv_batch(
+        datas, clens, n, canvas, out.ctypes.data_as(ctypes.c_void_p),
+        scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )

@@ -73,6 +73,13 @@ struct LatencyStats {
     std::nth_element(copy.begin(), copy.begin() + k, copy.end());
     return copy[k];
   }
+
+  void reset() {
+    std::lock_guard<std::mutex> lock(mu);
+    samples.clear();
+    next = 0;
+    count = 0;
+  }
 };
 
 struct Batcher {
@@ -141,8 +148,20 @@ uint64_t detax_batcher_submit(void* handle, const uint8_t* data, size_t len) {
 // fill. Copies payloads into out_data (contiguous, each padded to item_stride
 // bytes; payloads must not exceed item_stride) and ids into out_ids.
 // Returns the number of requests collected (0 on shutdown).
+size_t detax_batcher_next_batch2(void* handle, uint64_t* out_ids, uint8_t* out_data,
+                                 size_t item_stride, uint64_t* out_lens);
+
 size_t detax_batcher_next_batch(void* handle, uint64_t* out_ids, uint8_t* out_data,
                                 size_t item_stride) {
+  return detax_batcher_next_batch2(handle, out_ids, out_data, item_stride, nullptr);
+}
+
+// As next_batch, but also reports each payload's true byte length in
+// out_lens (may be null). Lengths let the runner hand (pointer, len) views
+// straight to the native jpeg batch decoder — no per-request copy or
+// trailing-garbage scan on the hot path.
+size_t detax_batcher_next_batch2(void* handle, uint64_t* out_ids, uint8_t* out_data,
+                                 size_t item_stride, uint64_t* out_lens) {
   auto* b = static_cast<Batcher*>(handle);
   std::unique_lock<std::mutex> lock(b->mu);
   b->queue_cv.wait(lock, [&] { return b->shutdown.load() || !b->queue.empty(); });
@@ -159,8 +178,9 @@ size_t detax_batcher_next_batch(void* handle, uint64_t* out_ids, uint8_t* out_da
   for (size_t i = 0; i < n; ++i) {
     Request& r = b->queue.front();
     out_ids[i] = r.id;
-    std::memcpy(out_data + i * item_stride, r.payload.data(),
-                std::min(r.payload.size(), item_stride));
+    size_t len = std::min(r.payload.size(), item_stride);
+    std::memcpy(out_data + i * item_stride, r.payload.data(), len);
+    if (out_lens) out_lens[i] = len;
     b->queue.pop_front();
   }
   return n;
@@ -215,6 +235,13 @@ double detax_batcher_latency_percentile(void* handle, double p) {
 
 uint64_t detax_batcher_completed(void* handle) {
   return static_cast<Batcher*>(handle)->stats.count;
+}
+
+// Zero the latency reservoir and completion counter — load tests call this
+// between runs so published percentiles cover exactly one measurement
+// window (VERDICT-r4 "per-run-reset server stats").
+void detax_batcher_reset_stats(void* handle) {
+  static_cast<Batcher*>(handle)->stats.reset();
 }
 
 }  // extern "C"

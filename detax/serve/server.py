@@ -35,11 +35,72 @@ from detax.serve.batcher import DynamicBatcher
 
 _HEADER = struct.Struct("<III")  # h, w, c
 
+# request-payload prefix marking "respond in binary" (see encode_result_bin).
+# Unambiguous against both payload kinds: JPEG starts FF D8, and raw-pixel
+# framing starts with a little-endian height whose value would have to be
+# 0x00425844 (≈4.3M rows) to collide.
+_BIN_MARK = b"DXB\x00"
+# /detect_batch body magic for length-prefixed JPEG frames (u32 len + bytes)*
+_JPEG_BATCH_MAGIC = b"DXJB"
+
 
 def encode_request(image: np.ndarray) -> bytes:
     assert image.dtype == np.uint8 and image.ndim == 3
     h, w, c = image.shape
     return _HEADER.pack(h, w, c) + image.tobytes()
+
+
+def encode_result_bin(boxes: np.ndarray, scores: np.ndarray, classes: np.ndarray) -> bytes:
+    """Binary result block: u32 n + boxes (n,4) f32 + scores (n,) f32 +
+    classes (n,) i32, little-endian. ~150x cheaper to produce than JSON on
+    the 1-core serve host (measured: scripts/probe_serve_host.py) and 3x
+    smaller on the wire."""
+    n = len(scores)
+    return b"".join(
+        [
+            struct.pack("<I", n),
+            np.ascontiguousarray(boxes, np.float32).tobytes(),
+            np.ascontiguousarray(scores, np.float32).tobytes(),
+            np.ascontiguousarray(classes, np.int32).tobytes(),
+        ]
+    )
+
+
+def yuv_flat_to_rgb(flat, size: int):
+    """Device half of the 4:2:0 wire format: (B, S*S*3/2) planar uint8 →
+    (B, S, S, 3) float32 RGB in [0, 255]. Chroma 2x nearest upsample mirrors
+    libjpeg do_fancy_upsampling=FALSE; BT.601 full-range matches libjpeg's
+    YCbCr→RGB matrix to <1 LSB. All elementwise — XLA fuses it into the
+    first conv's input normalize, so the color math is free on device."""
+    import jax.numpy as jnp
+
+    b, S = flat.shape[0], size
+    y = flat[:, : S * S].reshape(b, S, S).astype(jnp.float32)
+    c = flat[:, S * S :].reshape(b, S // 2, S // 2, 2).astype(jnp.float32) - 128.0
+    c = jnp.repeat(jnp.repeat(c, 2, axis=1), 2, axis=2)
+    cb, cr = c[..., 0], c[..., 1]
+    rgb = jnp.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return jnp.clip(rgb, 0.0, 255.0)
+
+
+def decode_result_bin(blob: bytes, off: int = 0):
+    """Inverse of encode_result_bin; returns (dict, next_offset)."""
+    (n,) = struct.unpack_from("<I", blob, off)
+    off += 4
+    boxes = np.frombuffer(blob, np.float32, 4 * n, off).reshape(n, 4)
+    off += 16 * n
+    scores = np.frombuffer(blob, np.float32, n, off)
+    off += 4 * n
+    classes = np.frombuffer(blob, np.int32, n, off)
+    off += 4 * n
+    return {"boxes": boxes, "scores": scores, "classes": classes}, off
 
 
 def decode_request(payload: np.ndarray | bytes) -> np.ndarray:
@@ -77,12 +138,13 @@ class DetectionService:
         # over the wire than f32); cast + (x-mean)/std fuse into the forward
         mean = jnp.asarray(preprocess_conf.pixel_mean, jnp.float32)
         std = jnp.asarray(preprocess_conf.pixel_std, jnp.float32)
+        S = preprocess_conf.image_size
 
-        def fwd(p, u8, sizes, scales):
+        def detect_packed(p, pixels, sizes, scales):
             from detax.structures.image_batch import ImageBatch
 
-            pixels = (u8.astype(jnp.float32) - mean) / std
-            d = model.apply(p, ImageBatch(pixels=pixels, image_sizes=sizes, scales=scales))
+            norm = (pixels - mean) / std
+            d = model.apply(p, ImageBatch(pixels=norm, image_sizes=sizes, scales=scales))
             # pack into ONE (B, K, 7) array: remote/tunneled backends pay a
             # round-trip per fetched array — 4 fetches ≈ 75 ms measured, 1 ≈ 25
             return jnp.concatenate(
@@ -95,8 +157,19 @@ class DetectionService:
                 axis=-1,
             )
 
+        def fwd(p, u8, sizes, scales):
+            return detect_packed(p, u8.astype(jnp.float32), sizes, scales)
+
+        def fwd_yuv(p, flat, sizes, scales):
+            # the fast JPEG wire format: flat (B, S*S*3/2) planar 4:2:0 —
+            # HALF the host->device bytes of an RGB canvas (the measured
+            # serve wire runs ~230 MB/s; see docs/serving-ceiling.md)
+            return detect_packed(p, yuv_flat_to_rgb(flat, S), sizes, scales)
+
         self._fwd = jax.jit(fwd)
         self._fwd_fn = fwd
+        self._fwd_yuv = jax.jit(fwd_yuv)
+        self._fwd_yuv_fn = fwd_yuv
         # AOT executable cache (detax/serve/aot.py): warmup() fills
         # _compiled[bucket] with per-bucket compiled executables, loading
         # serialized ones from aot_cache when present — a warm restart
@@ -143,6 +216,18 @@ class DetectionService:
         rids = [self.batcher.submit(encode_request(img)) for img in images]
         return [json.loads(self.batcher.wait_result(r).decode()) for r in rids]
 
+    def detect_many_jpeg(self, jpegs: list, binary: bool = False) -> list:
+        """Blocking multi-JPEG detect on the fast 4:2:0 path: one native
+        batch decode, half the wire bytes, and (with ``binary=True``) raw
+        ``encode_result_bin`` blobs instead of JSON dicts (decode with
+        ``decode_result_bin``) — the recommended throughput API."""
+        mark = _BIN_MARK if binary else b""
+        rids = [self.batcher.submit(mark + j) for j in jpegs]
+        outs = [self.batcher.wait_result(r) for r in rids]
+        if binary:
+            return [bytes(o) for o in outs]
+        return [json.loads(o.decode()) for o in outs]
+
     def stats(self) -> dict:
         return {
             "p50_ms": self.batcher.latency_percentile_ms(50),
@@ -168,17 +253,24 @@ class DetectionService:
         b = 1
         while b <= self.max_batch:
             t0 = time.time()
-            u8 = jnp.zeros((b, size, size, 3), jnp.uint8)
             sizes = jnp.full((b, 2), float(size), jnp.float32)
             scales = jnp.ones((b,), jnp.float32)
-            exe, how = aot.compile_or_load(
-                self.aot_cache, self._conf_json, self._fwd_fn,
-                self.params, u8, sizes, scales,
-            )
-            self._compiled[b] = exe
-            packed = exe(self.params, u8, sizes, scales)
-            np.asarray(packed[:1, :1])  # real sync on remote backends
-            print(f"serve warmup: bucket {b} ready in {time.time() - t0:.1f}s ({how})", flush=True)
+            for kind, fn, pix in (
+                ("rgb", self._fwd_fn, jnp.zeros((b, size, size, 3), jnp.uint8)),
+                ("yuv", self._fwd_yuv_fn, jnp.zeros((b, size * size * 3 // 2), jnp.uint8)),
+            ):
+                exe, how = aot.compile_or_load(
+                    self.aot_cache, self._conf_json, fn,
+                    self.params, pix, sizes, scales,
+                )
+                self._compiled[(kind, b)] = exe
+                packed = exe(self.params, pix, sizes, scales)
+                np.asarray(packed[:1, :1])  # real sync on remote backends
+                print(
+                    f"serve warmup: bucket {kind}:{b} ready in {time.time() - t0:.1f}s ({how})",
+                    flush=True,
+                )
+                t0 = time.time()
             b *= 2
 
     def start(self, warmup: bool = True) -> None:
@@ -206,7 +298,15 @@ class DetectionService:
 
         import jax.numpy as jnp
 
+        from detax.serve import loader
+
         size = self.pconf.image_size
+        slot = loader.yuv_slot_bytes(size)
+        have_native = loader.have_native_loader()
+        # preallocated per-bucket 4:2:0 batch buffers: the native decoder
+        # writes every live row; pad rows carry stale pixels, which is fine —
+        # their results are never fanned out (ids has length n)
+        yuv_bufs: dict[int, np.ndarray] = {}
         # backpressure: at most 2 batches in flight (one on device, one in
         # fan-out). Without a bound the runner can dispatch arbitrarily far
         # ahead of the device under overload, pinning device output buffers
@@ -214,54 +314,89 @@ class DetectionService:
         inflight = collections.deque()
 
         while not self._stop.is_set():
-            ids, payloads = self.batcher.next_batch()
+            ids, payloads, lens = self.batcher.next_batch_with_lens()
             if not ids:
                 if self._stop.is_set():
                     return
                 continue
             n = len(ids)
             nb = self._bucket(n)
-            pixels = np.zeros((nb, size, size, 3), np.uint8)
-            sizes = np.full((nb, 2), 1.0, np.float32)
-            scales = np.ones((nb,), np.float32)
-            for i in range(n):
-                raw = payloads[i]
-                if bytes(raw[:2]) == b"\xff\xd8":  # JPEG: native decode+letterbox
-                    from detax.serve.loader import decode_letterbox
 
-                    canvas, scale, nh, nw = decode_letterbox(bytes(raw), size)
-                    pixels[i] = canvas
+            # strip the binary-response marker, classify payload kinds
+            offs = [0] * n
+            binflags = [False] * n
+            all_jpeg = True
+            for i in range(n):
+                row = payloads[i]
+                if bytes(row[:4]) == _BIN_MARK:
+                    offs[i] = 4
+                    binflags[i] = True
+                if bytes(row[offs[i] : offs[i] + 2]) != b"\xff\xd8":
+                    all_jpeg = False
+
+            if all_jpeg and have_native:
+                # fast path — the recommended wire format: ONE GIL-free
+                # native call decodes the whole batch into planar 4:2:0
+                # (half the host->device bytes of RGB), one transfer, one
+                # XLA program that does chroma upsample + color + detect
+                buf = yuv_bufs.get(nb)
+                if buf is None:
+                    buf = yuv_bufs.setdefault(nb, np.empty((nb, slot), np.uint8))
+                isz = np.zeros((n, 2), np.int32)
+                scales = np.ones((nb,), np.float32)
+                loader.decode_letterbox_yuv_batch_view(
+                    payloads, lens, offs, size, buf, isz, scales[:n]
+                )
+                sizes = np.full((nb, 2), 1.0, np.float32)
+                sizes[:n] = isz
+                fwd = self._compiled.get(("yuv", nb), self._fwd_yuv)
+                packed = fwd(
+                    self.params, jnp.asarray(buf), jnp.asarray(sizes), jnp.asarray(scales)
+                )
+            else:
+                pixels = np.zeros((nb, size, size, 3), np.uint8)
+                sizes = np.full((nb, 2), 1.0, np.float32)
+                scales = np.ones((nb,), np.float32)
+                for i in range(n):
+                    raw = payloads[i][offs[i] : lens[i]]
+                    if bytes(raw[:2]) == b"\xff\xd8":  # JPEG: native decode+letterbox
+                        from detax.serve.loader import decode_letterbox
+
+                        canvas, scale, nh, nw = decode_letterbox(bytes(raw), size)
+                        pixels[i] = canvas
+                        sizes[i] = (nh, nw)
+                        scales[i] = scale
+                        continue
+                    img = decode_request(raw)
+                    h0, w0 = img.shape[:2]
+                    scale = min(size / h0, size / w0)
+                    nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+                    from detax.train.coco import _resize_bilinear
+
+                    resized = (
+                        _resize_bilinear(img.astype(np.float32), nh, nw).astype(np.uint8)
+                        if (nh, nw) != (h0, w0)
+                        else img
+                    )
+                    pixels[i, :nh, :nw] = resized
                     sizes[i] = (nh, nw)
                     scales[i] = scale
-                    continue
-                img = decode_request(raw)
-                h0, w0 = img.shape[:2]
-                scale = min(size / h0, size / w0)
-                nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
-                from detax.train.coco import _resize_bilinear
 
-                resized = (
-                    _resize_bilinear(img.astype(np.float32), nh, nw).astype(np.uint8)
-                    if (nh, nw) != (h0, w0)
-                    else img
+                fwd = self._compiled.get(("rgb", nb), self._fwd)
+                packed = fwd(
+                    self.params, jnp.asarray(pixels), jnp.asarray(sizes), jnp.asarray(scales)
                 )
-                pixels[i, :nh, :nw] = resized
-                sizes[i] = (nh, nw)
-                scales[i] = scale
-
-            fwd = self._compiled.get(nb, self._fwd)
-            packed = fwd(
-                self.params, jnp.asarray(pixels), jnp.asarray(sizes), jnp.asarray(scales)
-            )
             # async dispatch done — hand transfer+encode to the pool and go
             # pull the next batch (overlaps with this batch's device time)
             inflight.append(
-                self._post_pool.submit(self._post_results, list(ids), packed, scales.copy())
+                self._post_pool.submit(
+                    self._post_results, list(ids), packed, scales.copy(), binflags
+                )
             )
             while len(inflight) > 2:
                 inflight.popleft().result()
 
-    def _post_results(self, ids, packed, scales) -> None:
+    def _post_results(self, ids, packed, scales, binflags=None) -> None:
         try:
             out = np.asarray(packed)  # one host transfer: (B, K, 7)
             boxes, scores = out[..., :4], out[..., 4]
@@ -269,6 +404,12 @@ class DetectionService:
             valid = out[..., 6] > 0.5
             for i, rid in enumerate(ids):
                 keep = valid[i]
+                if binflags is not None and binflags[i]:
+                    blob = encode_result_bin(
+                        boxes[i][keep] / scales[i], scores[i][keep], classes[i][keep]
+                    )
+                    self.batcher.post_result(rid, blob)
+                    continue
                 result = {
                     "boxes": (boxes[i][keep] / scales[i]).tolist(),
                     "scores": scores[i][keep].tolist(),
@@ -312,24 +453,66 @@ def serve(service: DetectionService, port: int = 8500) -> ThreadingHTTPServer:
                 self.end_headers()
 
         def do_POST(self):
+            if self.path == "/stats/reset":
+                service.batcher.reset_stats()
+                self.send_response(200)
+                self.send_header("Content-Length", "2")
+                self.end_headers()
+                self.wfile.write(b"{}")
+                return
             if self.path == "/detect_batch":
-                # body = N frames, each the 12-byte (h, w, c) header + raw
-                # uint8 pixels (encode_request framing), concatenated.
-                # → {"results": [per-image {boxes, scores, classes}]}
+                # body = either N raw-pixel frames (12-byte (h, w, c) header
+                # + uint8 pixels, encode_request framing) concatenated, or
+                # the JPEG framing b"DXJB" + (u32 len + jpeg bytes)*.
+                # Response: JSON {"results": [...]} by default; with
+                # Accept: application/octet-stream, u32 count + binary
+                # result blocks (encode_result_bin) — the fast wire pair.
                 try:
                     length = int(self.headers["Content-Length"])
                     raw = self.rfile.read(length)
-                    images, off = [], 0
-                    while off < len(raw):
-                        h, w, c = _HEADER.unpack(raw[off : off + _HEADER.size])
-                        end = off + _HEADER.size + h * w * c
-                        images.append(decode_request(raw[off:end]))
-                        off = end
-                    if not images:
-                        raise ValueError("empty batch")
-                    body = json.dumps({"results": service.detect_many(images)}).encode()
+                    binary = self.headers.get("Accept") == "application/octet-stream"
+                    if raw[:4] == _JPEG_BATCH_MAGIC:
+                        jpegs, off = [], 4
+                        while off < len(raw):
+                            (ln,) = struct.unpack_from("<I", raw, off)
+                            jpegs.append(raw[off + 4 : off + 4 + ln])
+                            off += 4 + ln
+                        if not jpegs:
+                            raise ValueError("empty batch")
+                        results = service.detect_many_jpeg(jpegs, binary=binary)
+                    else:
+                        images, off = [], 0
+                        while off < len(raw):
+                            h, w, c = _HEADER.unpack(raw[off : off + _HEADER.size])
+                            end = off + _HEADER.size + h * w * c
+                            images.append(decode_request(raw[off:end]))
+                            off = end
+                        if not images:
+                            raise ValueError("empty batch")
+                        results = service.detect_many(images)
+                        if binary:
+                            results = [
+                                encode_result_bin(
+                                    np.asarray(r["boxes"], np.float32).reshape(-1, 4),
+                                    np.asarray(r["scores"], np.float32),
+                                    np.asarray(r["classes"], np.int32),
+                                )
+                                for r in results
+                            ]
+                    if binary:
+                        blocks = [
+                            r if isinstance(r, bytes) else encode_result_bin(
+                                r["boxes"], r["scores"], r["classes"]
+                            )
+                            for r in results
+                        ]
+                        body = struct.pack("<I", len(blocks)) + b"".join(blocks)
+                        ctype = "application/octet-stream"
+                    else:
+                        body = json.dumps({"results": results}).encode()
+                        ctype = "application/json"
                     self.send_response(200)
-                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Type", ctype)
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)
@@ -348,18 +531,25 @@ def serve(service: DetectionService, port: int = 8500) -> ThreadingHTTPServer:
             try:
                 length = int(self.headers["Content-Length"])
                 raw = self.rfile.read(length)
+                binary = self.headers.get("Accept") == "application/octet-stream"
+                mark = _BIN_MARK if binary else b""
                 if self.headers.get("Content-Type") == "image/jpeg" or raw[:2] == b"\xff\xd8":
                     # JPEG path: ship the compressed bytes to the runner,
                     # which decodes natively (libjpeg)
-                    rid = service.batcher.submit(raw)
-                    result = json.loads(service.batcher.wait_result(rid).decode())
+                    rid = service.batcher.submit(mark + raw)
+                    body = bytes(service.batcher.wait_result(rid))
                 else:
                     shape = tuple(int(x) for x in self.headers["X-Image-Shape"].split(","))
-                    img = np.frombuffer(raw, np.uint8).reshape(shape)
-                    result = service.detect(img)
-                body = json.dumps(result).encode()
+                    np.frombuffer(raw, np.uint8).reshape(shape)  # validate
+                    rid = service.batcher.submit(
+                        mark + _HEADER.pack(*shape) + raw
+                    )
+                    body = bytes(service.batcher.wait_result(rid))
                 self.send_response(200)
-                self.send_header("Content-Type", "application/json")
+                self.send_header(
+                    "Content-Type",
+                    "application/octet-stream" if binary else "application/json",
+                )
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)

@@ -131,6 +131,106 @@ def test_http_contract(rng):
         service.stop()
 
 
+def _jpeg(rng, h, w):
+    import io
+
+    from PIL import Image
+
+    img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=92)
+    return buf.getvalue()
+
+
+def test_jpeg_fast_path_and_binary(rng):
+    """All-JPEG batches ride the 4:2:0 device program; binary submissions
+    come back as encode_result_bin blobs with identical content to JSON."""
+    from detax.serve.server import decode_result_bin
+
+    service = DetectionService(
+        _FakeModel(), params={}, preprocess_conf=PreprocessConf(image_size=32),
+        max_batch=4, batch_timeout_ms=5,
+    )
+    service.start(warmup=False)
+    try:
+        jpegs = [_jpeg(rng, 64, 64) for _ in range(3)]
+        js = service.detect_many_jpeg(jpegs)
+        blobs = service.detect_many_jpeg(jpegs, binary=True)
+        assert len(js) == len(blobs) == 3
+        for j, blob in zip(js, blobs):
+            d, off = decode_result_bin(blob)
+            assert off == len(blob)
+            np.testing.assert_allclose(d["boxes"], np.asarray(j["boxes"]), rtol=1e-6)
+            np.testing.assert_allclose(d["scores"], j["scores"], rtol=1e-6)
+            np.testing.assert_array_equal(d["classes"], j["classes"])
+            # fake model box [10,10,20,20] at scale 0.5 → [20,20,40,40]
+            np.testing.assert_allclose(d["boxes"][0], [20, 20, 40, 40], atol=1e-3)
+    finally:
+        service.stop()
+
+
+def test_yuv_device_conversion_matches_host(rng):
+    """The jitted YUV→RGB conversion equals the host reconstruction used in
+    the loader parity test — closing the train/serve-style skew chain:
+    native decode ↔ host recon (test_loader) ↔ device program (here)."""
+    import jax
+
+    from detax.serve.server import yuv_flat_to_rgb
+    from tests.test_loader import _yuv_slot_to_rgb
+
+    S = 32
+    slot = (rng.rand(2, S * S * 3 // 2) * 255).astype(np.uint8)
+    dev = np.asarray(jax.jit(lambda f: yuv_flat_to_rgb(f, S))(jnp.asarray(slot)))
+    host = np.stack([_yuv_slot_to_rgb(s, S) for s in slot])
+    np.testing.assert_allclose(dev, host, atol=1e-3)
+
+
+def test_http_jpeg_batch_framing_and_stats_reset(rng):
+    """DXJB-framed JPEG batch over HTTP: JSON and binary responses; the
+    /stats/reset endpoint gives per-run measurement windows."""
+    import http.client
+    import struct as _struct
+
+    from detax.serve.server import decode_result_bin
+
+    service = DetectionService(
+        _FakeModel(), params={}, preprocess_conf=PreprocessConf(image_size=32),
+        max_batch=4, batch_timeout_ms=5,
+    )
+    service.start(warmup=False)
+    server = serve(service, port=18533)
+    try:
+        jpegs = [_jpeg(rng, 64, 64) for _ in range(2)]
+        body = b"DXJB" + b"".join(_struct.pack("<I", len(j)) + j for j in jpegs)
+        conn = http.client.HTTPConnection("127.0.0.1", 18533, timeout=30)
+        conn.request("POST", "/detect_batch", body=body)
+        data = json.loads(conn.getresponse().read())
+        assert len(data["results"]) == 2
+        np.testing.assert_allclose(data["results"][0]["boxes"][0], [20, 20, 40, 40], atol=1e-3)
+        # binary response
+        conn.request(
+            "POST", "/detect_batch", body=body,
+            headers={"Accept": "application/octet-stream"},
+        )
+        blob = conn.getresponse().read()
+        (cnt,) = _struct.unpack_from("<I", blob, 0)
+        assert cnt == 2
+        off = 4
+        for _ in range(cnt):
+            d, off = decode_result_bin(blob, off)
+            np.testing.assert_allclose(d["boxes"][0], [20, 20, 40, 40], atol=1e-3)
+        assert off == len(blob)
+        # stats cover the work so far; reset zeroes the window
+        assert service.stats()["completed"] >= 4
+        conn.request("POST", "/stats/reset")
+        assert conn.getresponse().status == 200
+        s = service.stats()
+        assert s["completed"] == 0 and s["p50_ms"] == 0
+    finally:
+        server.shutdown()
+        service.stop()
+
+
 def test_http_detect_batch(rng):
     """/detect_batch: N header-framed images in ONE request → {"results":
     [...]} — amortizes the per-request HTTP host cost (1-core hosts measure
