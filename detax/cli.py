@@ -144,12 +144,15 @@ def cmd_train(args: argparse.Namespace) -> None:
         # wire ONCE; each step ships a batch-size index array and the batch
         # is gathered on device (see build_device_cache). Removes the
         # host-feed/transfer bound entirely for fine-tune-scale datasets.
-        assert not args.masks, "--feed cached does not cover mask bitmaps yet"
+        # masks need no cache storage or wire bytes: the jitted gather
+        # rasterizes rect bitmaps on device from the cached GT boxes
+        pconf = PreprocessConf(image_size=args.image_size)
         cache_images, cache_gt = build_device_cache(
-            dataset, PreprocessConf(image_size=args.image_size),
-            max_gt_boxes=conf.max_gt_boxes,
+            dataset, pconf, max_gt_boxes=conf.max_gt_boxes,
         )
-        gather = make_cached_gather()
+        gather = make_cached_gather(
+            mask_spec=(args.image_size, pconf.mask_stride) if args.masks else None
+        )
         idx_stream = cached_index_batches(len(dataset), args.batch, seed=args.seed)
 
         def _cached_batches():
@@ -251,6 +254,13 @@ def cmd_train(args: argparse.Namespace) -> None:
 
 
 def cmd_serve(args: argparse.Namespace) -> None:
+    import sys as _sys
+
+    # 1-core host: the default 5 ms GIL switch interval thrashes between the
+    # HTTP threads and the runner's Python sections under load; a longer
+    # quantum keeps the batch pipeline moving (native decode/serialize
+    # sections run GIL-free regardless)
+    _sys.setswitchinterval(0.02)
     import jax
     import numpy as np
 

@@ -57,14 +57,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ]
             lib.detax_jpeg_letterbox_yuv.restype = ctypes.c_int
             lib.detax_jpeg_letterbox_yuv.argtypes = [
-                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_void_p,
-                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ]
             lib.detax_jpeg_letterbox_yuv_batch.restype = ctypes.c_int
             lib.detax_jpeg_letterbox_yuv_batch.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
-                ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
             ]
             _LIB = lib
@@ -168,7 +168,9 @@ def _rgb_to_yuv_slot(canvas_rgb: np.ndarray, canvas: int, nh: int, nw: int) -> n
     return slot
 
 
-def decode_letterbox_yuv(data: bytes, canvas: int) -> Tuple[np.ndarray, float, int, int]:
+def decode_letterbox_yuv(
+    data: bytes, canvas: int, fast_dct: bool = False
+) -> Tuple[np.ndarray, float, int, int]:
     """JPEG bytes → planar-4:2:0 letterbox slot (see ``yuv_slot_bytes``) +
     (scale, nh, nw). The serve fast path: YCbCr decode skips libjpeg's color
     conversion, chroma is resized at half resolution, and the slot is HALF
@@ -182,7 +184,7 @@ def decode_letterbox_yuv(data: bytes, canvas: int) -> Tuple[np.ndarray, float, i
     scale = ctypes.c_float()
     nh, nw = ctypes.c_int(), ctypes.c_int()
     rc = lib.detax_jpeg_letterbox_yuv(
-        data, len(data), canvas, out.ctypes.data_as(ctypes.c_void_p),
+        data, len(data), canvas, int(fast_dct), out.ctypes.data_as(ctypes.c_void_p),
         ctypes.byref(scale), ctypes.byref(nh), ctypes.byref(nw),
     )
     if rc:
@@ -191,7 +193,7 @@ def decode_letterbox_yuv(data: bytes, canvas: int) -> Tuple[np.ndarray, float, i
 
 
 def decode_letterbox_yuv_batch(
-    payloads: list, canvas: int, out: Optional[np.ndarray] = None
+    payloads: list, canvas: int, out: Optional[np.ndarray] = None, fast_dct: bool = False
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Decode a whole device batch of JPEGs in ONE GIL-free native call.
 
@@ -223,7 +225,7 @@ def decode_letterbox_yuv_batch(
     datas = (ctypes.c_char_p * n)(*bufs)
     lens = (ctypes.c_size_t * n)(*[len(b) for b in bufs])
     fails = lib.detax_jpeg_letterbox_yuv_batch(
-        datas, lens, n, canvas, out.ctypes.data_as(ctypes.c_void_p),
+        datas, lens, n, canvas, int(fast_dct), out.ctypes.data_as(ctypes.c_void_p),
         scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
@@ -238,6 +240,7 @@ def decode_letterbox_yuv_batch_view(
     out: np.ndarray,
     sizes: np.ndarray,
     scales: np.ndarray,
+    fast_dct: bool = False,
 ) -> int:
     """Zero-copy batch decode: jpeg payloads live at rows of ``buf`` (the
     batcher's stride buffer); pointers are computed in place — no bytes()
@@ -255,7 +258,7 @@ def decode_letterbox_yuv_batch_view(
         datas[i] = ctypes.cast(base + i * row + offs[i], ctypes.c_char_p)
         clens[i] = lens[i] - offs[i]
     return lib.detax_jpeg_letterbox_yuv_batch(
-        datas, clens, n, canvas, out.ctypes.data_as(ctypes.c_void_p),
+        datas, clens, n, canvas, int(fast_dct), out.ctypes.data_as(ctypes.c_void_p),
         scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )

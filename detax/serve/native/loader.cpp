@@ -115,9 +115,17 @@ TapTable make_taps(int src, int dst) {
   return t;
 }
 
-void resize_plane(const uint8_t* src, int /*h*/, int w, int nch, int ch, uint8_t* dst, int nh,
+void resize_plane(const uint8_t* src, int h, int w, int nch, int ch, uint8_t* dst, int nh,
                   int nw, int dst_stride, const TapTable& tx, const TapTable& ty,
                   std::vector<uint16_t>& row_scratch) {
+  if (h == nh && w == nw) {  // identity (VGA into a 640 canvas): plain deinterleave
+    for (int y = 0; y < nh; ++y) {
+      const uint8_t* r = src + (static_cast<size_t>(y) * w) * nch + ch;
+      uint8_t* out = dst + static_cast<size_t>(y) * dst_stride;
+      for (int x = 0; x < nw; ++x) out[x] = r[x * nch];
+    }
+    return;
+  }
   // horizontal pass into a two-row cache would need bookkeeping; with the
   // 2-tap vertical filter it is cheaper to blend the two source rows first
   // (sequential reads, vectorizable) and run the horizontal taps once.
@@ -144,7 +152,7 @@ void resize_plane(const uint8_t* src, int /*h*/, int w, int nch, int ch, uint8_t
 // When the image needs downscaling to fit `canvas`, ride libjpeg's M/8 DCT
 // scaling so the IDCT itself produces fewer pixels (1080p -> 3/8 decode
 // measured 12.4 -> ~4 ms). Returns decoded dims + the ORIGINAL dims.
-bool decode_ycbcr_scaled(const uint8_t* data, size_t len, int canvas,
+bool decode_ycbcr_scaled(const uint8_t* data, size_t len, int canvas, int fast_dct,
                          std::vector<uint8_t>& pixels, int* h, int* w, int* oh, int* ow) {
   jpeg_decompress_struct cinfo;
   ErrorMgr err;
@@ -172,6 +180,7 @@ bool decode_ycbcr_scaled(const uint8_t* data, size_t len, int canvas,
   cinfo.out_color_space = JCS_YCbCr;
   cinfo.do_fancy_upsampling = FALSE;  // pixel-replication chroma upsample:
   // we immediately re-subsample to 4:2:0, so the triangle filter buys nothing
+  if (fast_dct) cinfo.dct_method = JDCT_IFAST;  // SIMD approx IDCT, ±1-2 LSB
   jpeg_start_decompress(&cinfo);
   *h = cinfo.output_height;
   *w = cinfo.output_width;
@@ -191,11 +200,11 @@ bool decode_ycbcr_scaled(const uint8_t* data, size_t len, int canvas,
 //                               padding = 128 (neutral chroma = black RGB)
 // scale/new_h/new_w are relative to the ORIGINAL jpeg dims, exactly like
 // detax_jpeg_letterbox, so box coordinates map back identically.
-bool letterbox_yuv_one(const uint8_t* data, size_t len, int canvas, uint8_t* slot, float* scale,
-                       int* new_h, int* new_w, std::vector<uint8_t>& scratch,
-                       std::vector<uint16_t>& row_scratch) {
+bool letterbox_yuv_one(const uint8_t* data, size_t len, int canvas, int fast_dct,
+                       uint8_t* slot, float* scale, int* new_h, int* new_w,
+                       std::vector<uint8_t>& scratch, std::vector<uint16_t>& row_scratch) {
   int h = 0, w = 0, oh = 0, ow = 0;
-  if (!decode_ycbcr_scaled(data, len, canvas, scratch, &h, &w, &oh, &ow)) return false;
+  if (!decode_ycbcr_scaled(data, len, canvas, fast_dct, scratch, &h, &w, &oh, &ow)) return false;
   const int half = canvas / 2;
   uint8_t* yplane = slot;
   uint8_t* cplane = slot + static_cast<size_t>(canvas) * canvas;
@@ -279,12 +288,15 @@ int detax_jpeg_letterbox(const uint8_t* data, size_t len, int canvas, uint8_t* o
 
 // Decode + letterbox ONE jpeg into one planar-4:2:0 slot (size
 // canvas*canvas*3/2; canvas must be even). See letterbox_yuv_one for layout.
-int detax_jpeg_letterbox_yuv(const uint8_t* data, size_t len, int canvas, uint8_t* slot,
-                             float* scale, int* new_h, int* new_w) {
+int detax_jpeg_letterbox_yuv(const uint8_t* data, size_t len, int canvas, int fast_dct,
+                             uint8_t* slot, float* scale, int* new_h, int* new_w) {
   if (canvas % 2) return 3;
   std::vector<uint8_t> scratch;
   std::vector<uint16_t> rows;
-  return letterbox_yuv_one(data, len, canvas, slot, scale, new_h, new_w, scratch, rows) ? 0 : 1;
+  return letterbox_yuv_one(data, len, canvas, fast_dct, slot, scale, new_h, new_w, scratch,
+                           rows)
+             ? 0
+             : 1;
 }
 
 // Batch variant: one GIL-free call decodes every jpeg of a device batch
@@ -294,7 +306,8 @@ int detax_jpeg_letterbox_yuv(const uint8_t* data, size_t len, int canvas, uint8_
 // (n, 2) int32 (new_h, new_w). Images that fail to decode leave a black
 // slot with scale=1 and size=(0, 0); returns the number of failures.
 int detax_jpeg_letterbox_yuv_batch(const uint8_t* const* datas, const size_t* lens, int n,
-                                   int canvas, uint8_t* out, float* scales, int* sizes) {
+                                   int canvas, int fast_dct, uint8_t* out, float* scales,
+                                   int* sizes) {
   if (canvas % 2) return n;
   const size_t slot_bytes = static_cast<size_t>(canvas) * canvas * 3 / 2;
   std::vector<uint8_t> scratch;
@@ -304,7 +317,8 @@ int detax_jpeg_letterbox_yuv_batch(const uint8_t* const* datas, const size_t* le
     uint8_t* slot = out + static_cast<size_t>(i) * slot_bytes;
     int nh = 0, nw = 0;
     float s = 1.0f;
-    if (!letterbox_yuv_one(datas[i], lens[i], canvas, slot, &s, &nh, &nw, scratch, rows)) {
+    if (!letterbox_yuv_one(datas[i], lens[i], canvas, fast_dct, slot, &s, &nh, &nw, scratch,
+                           rows)) {
       std::memset(slot, 0, static_cast<size_t>(canvas) * canvas);
       std::memset(slot + static_cast<size_t>(canvas) * canvas, 128,
                   static_cast<size_t>(canvas / 2) * (canvas / 2) * 2);

@@ -40,6 +40,7 @@ _HEADER = struct.Struct("<III")  # h, w, c
 # framing starts with a little-endian height whose value would have to be
 # 0x00425844 (≈4.3M rows) to collide.
 _BIN_MARK = b"DXB\x00"
+_BIN_MARK_U8 = np.frombuffer(_BIN_MARK, np.uint8)
 # /detect_batch body magic for length-prefixed JPEG frames (u32 len + bytes)*
 _JPEG_BATCH_MAGIC = b"DXJB"
 
@@ -295,109 +296,182 @@ class DetectionService:
 
     def _run(self) -> None:
         import collections
+        import os
+        import time as _time
 
         import jax.numpy as jnp
 
         from detax.serve import loader
 
+        trace = os.environ.get("DETAX_SERVE_TRACE", "") == "1"
         size = self.pconf.image_size
         slot = loader.yuv_slot_bytes(size)
         have_native = loader.have_native_loader()
-        # preallocated per-bucket 4:2:0 batch buffers: the native decoder
-        # writes every live row; pad rows carry stale pixels, which is fine —
-        # their results are never fanned out (ids has length n)
-        yuv_bufs: dict[int, np.ndarray] = {}
-        # backpressure: at most 2 batches in flight (one on device, one in
-        # fan-out). Without a bound the runner can dispatch arbitrarily far
-        # ahead of the device under overload, pinning device output buffers
-        # in the unbounded executor queue.
+        # Per-bucket free-lists of 4:2:0 batch buffers (2 each): the runner
+        # decodes batch N+1 into one while the dispatch thread serializes
+        # batch N's sibling; a buffer only returns to the free-list after
+        # its device transfer completes, so reuse can never race the
+        # serializer. The native decoder writes every live row; pad rows
+        # carry stale pixels, which is fine — their results are never
+        # fanned out (ids has length n)
+        yuv_free: dict[int, object] = {}
+
+        # -- dispatch stage: device transfer + program launch ----------------
+        # The host→device transfer on this tunneled backend is CPU-heavy
+        # (client-side serialize) AND has real network wait; running it on
+        # its own thread lets the next batch's jpeg decode proceed during
+        # the wait portion (measured: decode and dispatch serialized on one
+        # thread cost 240+130 ms per 32-batch; pipelined, the wire wait
+        # overlaps decode). queue maxsize 1 + the double buffer bound the
+        # pipeline at 2 batches, preserving the old backpressure rule.
+        import queue as _queue
+
+        dispatch_q: _queue.Queue = _queue.Queue(maxsize=1)
         inflight = collections.deque()
 
-        while not self._stop.is_set():
-            ids, payloads, lens = self.batcher.next_batch_with_lens()
-            if not ids:
-                if self._stop.is_set():
+        def dispatcher():
+            while True:
+                item = dispatch_q.get()
+                if item is None:
                     return
-                continue
-            n = len(ids)
-            nb = self._bucket(n)
-
-            # strip the binary-response marker, classify payload kinds
-            offs = [0] * n
-            binflags = [False] * n
-            all_jpeg = True
-            for i in range(n):
-                row = payloads[i]
-                if bytes(row[:4]) == _BIN_MARK:
-                    offs[i] = 4
-                    binflags[i] = True
-                if bytes(row[offs[i] : offs[i] + 2]) != b"\xff\xd8":
-                    all_jpeg = False
-
-            if all_jpeg and have_native:
-                # fast path — the recommended wire format: ONE GIL-free
-                # native call decodes the whole batch into planar 4:2:0
-                # (half the host->device bytes of RGB), one transfer, one
-                # XLA program that does chroma upsample + color + detect
-                buf = yuv_bufs.get(nb)
-                if buf is None:
-                    buf = yuv_bufs.setdefault(nb, np.empty((nb, slot), np.uint8))
-                isz = np.zeros((n, 2), np.int32)
-                scales = np.ones((nb,), np.float32)
-                loader.decode_letterbox_yuv_batch_view(
-                    payloads, lens, offs, size, buf, isz, scales[:n]
-                )
-                sizes = np.full((nb, 2), 1.0, np.float32)
-                sizes[:n] = isz
-                fwd = self._compiled.get(("yuv", nb), self._fwd_yuv)
+                kind, nb2, ids2, arr, sizes2, scales2, binflags2, t_dec = item
+                t_d0 = _time.perf_counter()
+                fwd = self._compiled.get((kind, nb2), self._fwd_yuv if kind == "yuv" else self._fwd)
+                dev = jnp.asarray(arr)
+                t_d1 = _time.perf_counter()
+                if kind == "yuv":  # transfer staged — the buffer is reusable
+                    yuv_free[nb2].put(arr)
                 packed = fwd(
-                    self.params, jnp.asarray(buf), jnp.asarray(sizes), jnp.asarray(scales)
+                    self.params, dev, jnp.asarray(sizes2), jnp.asarray(scales2)
                 )
-            else:
-                pixels = np.zeros((nb, size, size, 3), np.uint8)
-                sizes = np.full((nb, 2), 1.0, np.float32)
-                scales = np.ones((nb,), np.float32)
-                for i in range(n):
-                    raw = payloads[i][offs[i] : lens[i]]
-                    if bytes(raw[:2]) == b"\xff\xd8":  # JPEG: native decode+letterbox
-                        from detax.serve.loader import decode_letterbox
+                try:
+                    # start the d2h copy the moment the program finishes, so
+                    # the fan-out's np.asarray is a cheap local memcpy instead
+                    # of a blocking RPC that holds the GIL for the whole
+                    # device+network wait (measured: a blocking fetch starves
+                    # every other thread to ~27% of its idle rate on the
+                    # 1-core host; see docs/serving-ceiling.md)
+                    packed.copy_to_host_async()
+                except Exception:
+                    pass
+                if trace:
+                    print(
+                        f"runner n={len(ids2)} decode={1e3*t_dec:.1f} "
+                        f"xfer={1e3*(t_d1-t_d0):.1f} "
+                        f"launch={1e3*(_time.perf_counter()-t_d1):.1f} ms",
+                        flush=True,
+                    )
+                inflight.append(
+                    self._post_pool.submit(
+                        self._post_results, ids2, packed, scales2.copy(), binflags2
+                    )
+                )
+                while len(inflight) > 2:
+                    inflight.popleft().result()
 
-                        canvas, scale, nh, nw = decode_letterbox(bytes(raw), size)
-                        pixels[i] = canvas
+        disp_thread = threading.Thread(target=dispatcher, daemon=True, name="detax-dispatch")
+        disp_thread.start()
+
+        try:
+            while not self._stop.is_set():
+                ids, payloads, lens = self.batcher.next_batch_with_lens()
+                if not ids:
+                    if self._stop.is_set():
+                        return
+                    continue
+                t0 = _time.perf_counter()
+                n = len(ids)
+                nb = self._bucket(n)
+
+                # strip the binary-response marker, classify payload kinds
+                # (vectorized: payloads is a (n, stride) uint8 matrix)
+                head = payloads[:, :6]
+                isbin = (head[:, :4] == _BIN_MARK_U8).all(axis=1)
+                offs_a = isbin * 4
+                j0 = head[np.arange(n), offs_a]
+                j1 = head[np.arange(n), offs_a + 1]
+                all_jpeg = bool(((j0 == 0xFF) & (j1 == 0xD8)).all())
+                offs = offs_a.tolist()
+                binflags = isbin.tolist()
+
+                if all_jpeg and have_native:
+                    # fast path — the recommended wire format: ONE GIL-free
+                    # native call decodes the whole batch into planar 4:2:0
+                    # (half the host->device bytes of RGB), one transfer, one
+                    # XLA program that does chroma upsample + color + detect
+                    free = yuv_free.get(nb)
+                    if free is None:
+                        free = yuv_free.setdefault(nb, _queue.Queue())
+                        for _ in range(2):
+                            free.put(np.empty((nb, slot), np.uint8))
+                    buf = free.get()
+                    tg = _time.perf_counter()
+                    isz = np.zeros((n, 2), np.int32)
+                    scales = np.ones((nb,), np.float32)
+                    loader.decode_letterbox_yuv_batch_view(
+                        payloads, lens, offs, size, buf, isz, scales[:n],
+                        fast_dct=True,  # SIMD approx IDCT: ±1-2 LSB, ~20% less
+                        # decode CPU on the 1-core host (docs/serving-ceiling.md)
+                    )
+                    tc = _time.perf_counter()
+                    sizes = np.full((nb, 2), 1.0, np.float32)
+                    sizes[:n] = isz
+                    if trace:
+                        print(
+                            f"  decode-detail: class={1e3*(t0-t0):.1f} bufget={1e3*(tg-t0):.1f} "
+                            f"cdecode={1e3*(tc-tg):.1f} ms",
+                            flush=True,
+                        )
+                    item = ("yuv", nb, list(ids), buf, sizes, scales, binflags,
+                            _time.perf_counter() - t0)
+                else:
+                    pixels = np.zeros((nb, size, size, 3), np.uint8)
+                    sizes = np.full((nb, 2), 1.0, np.float32)
+                    scales = np.ones((nb,), np.float32)
+                    for i in range(n):
+                        raw = payloads[i][offs[i] : lens[i]]
+                        if bytes(raw[:2]) == b"\xff\xd8":  # JPEG: native decode
+                            from detax.serve.loader import decode_letterbox
+
+                            canvas, scale, nh, nw = decode_letterbox(bytes(raw), size)
+                            pixels[i] = canvas
+                            sizes[i] = (nh, nw)
+                            scales[i] = scale
+                            continue
+                        img = decode_request(raw)
+                        h0, w0 = img.shape[:2]
+                        scale = min(size / h0, size / w0)
+                        nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+                        from detax.train.coco import _resize_bilinear
+
+                        resized = (
+                            _resize_bilinear(img.astype(np.float32), nh, nw).astype(np.uint8)
+                            if (nh, nw) != (h0, w0)
+                            else img
+                        )
+                        pixels[i, :nh, :nw] = resized
                         sizes[i] = (nh, nw)
                         scales[i] = scale
-                        continue
-                    img = decode_request(raw)
-                    h0, w0 = img.shape[:2]
-                    scale = min(size / h0, size / w0)
-                    nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
-                    from detax.train.coco import _resize_bilinear
+                    item = ("rgb", nb, list(ids), pixels, sizes, scales, binflags,
+                            _time.perf_counter() - t0)
 
-                    resized = (
-                        _resize_bilinear(img.astype(np.float32), nh, nw).astype(np.uint8)
-                        if (nh, nw) != (h0, w0)
-                        else img
-                    )
-                    pixels[i, :nh, :nw] = resized
-                    sizes[i] = (nh, nw)
-                    scales[i] = scale
-
-                fwd = self._compiled.get(("rgb", nb), self._fwd)
-                packed = fwd(
-                    self.params, jnp.asarray(pixels), jnp.asarray(sizes), jnp.asarray(scales)
-                )
-            # async dispatch done — hand transfer+encode to the pool and go
-            # pull the next batch (overlaps with this batch's device time)
-            inflight.append(
-                self._post_pool.submit(
-                    self._post_results, list(ids), packed, scales.copy(), binflags
-                )
-            )
-            while len(inflight) > 2:
-                inflight.popleft().result()
+                dispatch_q.put(item)
+        finally:
+            dispatch_q.put(None)
+            disp_thread.join(timeout=10.0)
 
     def _post_results(self, ids, packed, scales, binflags=None) -> None:
         try:
+            try:
+                # wait GIL-free: is_ready() is a cheap local query and the
+                # sleep fully releases the GIL, so jpeg decode / HTTP threads
+                # keep the core while the device + d2h copy finish remotely
+                import time as _t
+
+                while not packed.is_ready():
+                    _t.sleep(0.002)
+            except Exception:
+                pass
             out = np.asarray(packed)  # one host transfer: (B, K, 7)
             boxes, scores = out[..., :4], out[..., 4]
             classes = out[..., 5].astype(np.int32)

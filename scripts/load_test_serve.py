@@ -29,46 +29,71 @@ import time
 import numpy as np
 
 
+def _make_jpeg(rng, height, width, quality=85):
+    # photographic-entropy JPEG payload: the server's native libjpeg
+    # decode+letterbox path (smooth gradient + noise ≈ realistic size)
+    import io
+
+    from PIL import Image
+
+    img = (rng.rand(height, width, 3) * 255).astype(np.uint8)
+    yy, xx = np.mgrid[0:height, 0:width]
+    base = np.stack([yy % 256, xx % 256, (yy + xx) % 256], -1).astype(np.uint8)
+    img = ((base.astype(np.int32) + img // 4) % 256).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
 def _one_client(host, port, height, width, stop_at, lat_ms, errors, seed, per_req=1,
-                jpeg=False):
+                jpeg=False, binary=False):
+    import struct
+
     rng = np.random.RandomState(seed)
     img = (rng.rand(height, width, 3) * 255).astype(np.uint8)
-    if jpeg:
-        # photographic-entropy JPEG payload: the server's native libjpeg
-        # decode+letterbox path (smooth gradient + noise ≈ realistic size)
-        import io
-
-        from PIL import Image
-
-        yy, xx = np.mgrid[0:height, 0:width]
-        base = np.stack([yy % 256, xx % 256, (yy + xx) % 256], -1).astype(np.uint8)
-        img = ((base.astype(np.int32) + img // 4) % 256).astype(np.uint8)
-        buf = io.BytesIO()
-        Image.fromarray(img).save(buf, format="JPEG", quality=85)
-        path, body, headers = "/detect", buf.getvalue(), {"Content-Type": "image/jpeg"}
+    headers = {}
+    if binary:
+        headers["Accept"] = "application/octet-stream"
+    if jpeg and per_req > 1:
+        # the recommended throughput wire pair: DXJB-framed JPEG batch in,
+        # packed binary results out — one native batch decode server-side
+        jp = _make_jpeg(rng, height, width)
+        path = "/detect_batch"
+        body = b"DXJB" + b"".join(struct.pack("<I", len(jp)) + jp for _ in range(per_req))
+    elif jpeg:
+        path, body = "/detect", _make_jpeg(rng, height, width)
+        headers["Content-Type"] = "image/jpeg"
     elif per_req > 1:
         from detax.serve.server import encode_request
 
-        path, body, headers = (
-            "/detect_batch", b"".join(encode_request(img) for _ in range(per_req)), {},
-        )
+        path, body = "/detect_batch", b"".join(encode_request(img) for _ in range(per_req))
     else:
-        path, body, headers = "/detect", img.tobytes(), {"X-Image-Shape": f"{height},{width},3"}
+        path, body = "/detect", img.tobytes()
+        headers["X-Image-Shape"] = f"{height},{width},3"
+    conn = None
     while time.time() < stop_at:
         t0 = time.time()
         try:
-            c = http.client.HTTPConnection(host, port, timeout=300)
-            c.request("POST", path, body=body, headers=headers)
-            r = c.getresponse()
+            if conn is None:  # keep-alive: reuse the connection across requests
+                conn = http.client.HTTPConnection(host, port, timeout=300)
+            conn.request("POST", path, body=body, headers=headers)
+            r = conn.getresponse()
             payload = r.read()
-            c.close()
             if r.status != 200:
                 errors.append(r.status)
                 continue
-            json.loads(payload)
+            if binary:
+                assert len(payload) >= 4
+            else:
+                json.loads(payload)
             lat_ms.append((time.time() - t0) * 1000.0)
         except Exception as e:  # connection errors count against the run
             errors.append(str(e))
+            try:
+                conn.close()
+            except Exception:
+                pass
+            conn = None
 
 
 def _get_stats(host, port):
@@ -92,9 +117,15 @@ def main() -> None:
     )
     ap.add_argument(
         "--jpeg", action="store_true",
-        help="send JPEG bodies (native libjpeg decode+letterbox on the server)",
+        help="send JPEG bodies (native libjpeg decode+letterbox on the server); "
+        "with --images-per-request > 1 uses the DXJB batch framing + one "
+        "native batch decode per device batch",
     )
-    ap.add_argument("--out", default="artifacts/serve_load_r4.json")
+    ap.add_argument(
+        "--binary", action="store_true",
+        help="Accept: application/octet-stream — packed binary results",
+    )
+    ap.add_argument("--out", default="artifacts/serve_load_r5.json")
     args = ap.parse_args()
 
     # warmup (excluded from the recorded window)
@@ -104,7 +135,7 @@ def main() -> None:
         threading.Thread(
             target=_one_client,
             args=(args.host, args.port, args.height, args.width, stop, warm_lat, warm_err, i,
-                  args.images_per_request, args.jpeg),
+                  args.images_per_request, args.jpeg, args.binary),
         )
         for i in range(args.clients)
     ]
@@ -113,6 +144,11 @@ def main() -> None:
     for t in ts:
         t.join()
 
+    # per-run window: zero the server's latency reservoir so the published
+    # server-side percentiles cover exactly this measurement window
+    c = http.client.HTTPConnection(args.host, args.port, timeout=60)
+    c.request("POST", "/stats/reset")
+    c.getresponse().read()
     stats_before = _get_stats(args.host, args.port)
     lat_ms: list = []
     errors: list = []
@@ -122,7 +158,7 @@ def main() -> None:
         threading.Thread(
             target=_one_client,
             args=(args.host, args.port, args.height, args.width, stop, lat_ms, errors, 1000 + i,
-                  args.images_per_request, args.jpeg),
+                  args.images_per_request, args.jpeg, args.binary),
         )
         for i in range(args.clients)
     ]
@@ -140,6 +176,7 @@ def main() -> None:
             "clients_closed_loop": args.clients,
             "images_per_request": args.images_per_request,
             "payload": "jpeg" if args.jpeg else "raw-uint8",
+            "response": "binary" if args.binary else "json",
             "image_shape": [args.height, args.width, 3],
             "duration_s": round(elapsed, 2),
         },
