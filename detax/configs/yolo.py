@@ -40,6 +40,11 @@ class YOLOConf(BaseConf):
     detections_per_image: int = 100
     max_gt_boxes: int = 100
     nms_impl: str = "xla"  # "xla" | "pallas" (per-level Pallas NMS path)
+    # training assignment: every wh-prior whose shape-IoU with the GT clears
+    # this is a positive at the GT's center cell (the best prior is always
+    # kept as a fallback) — 2-3x the positives of best-prior-only, which the
+    # from-scratch objectness/box heads need on short synthetic schedules
+    assign_iou_thresh: float = 0.5
     obj_loss_weight: float = 1.0
     cls_loss_weight: float = 1.0
     box_loss_weight: float = 5.0

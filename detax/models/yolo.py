@@ -142,31 +142,48 @@ class YOLO(nn.Module):
         )
         prior_iou = inter / jnp.maximum(union, 1e-6)  # (B, G, L*A)
         best = jnp.argmax(prior_iou, axis=-1)  # (B, G)
-        best_level = best // a
-        best_anchor = best % a
 
         cx = (gt.boxes[..., 0] + gt.boxes[..., 2]) / 2
         cy = (gt.boxes[..., 1] + gt.boxes[..., 3]) / 2
 
         losses_obj, losses_box, losses_cls = [], [], []
-        num_assigned = jnp.sum(gt.valid)
+        num_assigned = jnp.zeros((), jnp.float32)
         total_anchors = 0
+        bsz, g = gt.valid.shape
+        metrics: Dict[str, Array] = {}
+        num_images = images.pixels.shape[0]
         for lvl, (r, hw) in enumerate(zip(raw, hws)):
             r = r.astype(jnp.float32)  # losses in f32 (head emits compute dtype)
             h, w = hw
             stride = c.head.strides[lvl]
             anchors_wh = jnp.asarray(c.head.anchors[lvl], jnp.float32)
-            on_lvl = (best_level == lvl) & gt.valid  # (B, G)
+            jj = jnp.arange(a)
+            # multi-prior positives: every prior of this level whose shape-
+            # IoU clears assign_iou_thresh, plus the global best prior as a
+            # guaranteed fallback — 2-3x the positives of best-prior-only
+            iou_lvl = prior_iou[:, :, lvl * a : (lvl + 1) * a]  # (B, G, A)
+            on = gt.valid[:, :, None] & (
+                (iou_lvl > c.assign_iou_thresh) | (best[:, :, None] == lvl * a + jj)
+            )  # (B, G, A)
             gx = jnp.clip((cx / stride).astype(jnp.int32), 0, w - 1)
             gy = jnp.clip((cy / stride).astype(jnp.int32), 0, h - 1)
-            flat = (gy * w + gx) * a + best_anchor  # (B, G) index into H*W*A
+            flat = ((gy * w + gx)[:, :, None] * a + jj).reshape(bsz, g * a)
+            on_f = on.reshape(bsz, g * a)
+            boxes_f = jnp.broadcast_to(gt.boxes[:, :, None, :], (bsz, g, a, 4)).reshape(
+                bsz, g * a, 4
+            )
+            cls_f = jnp.broadcast_to(gt.classes[:, :, None], (bsz, g, a)).reshape(bsz, g * a)
+            prior_f = jnp.broadcast_to(jj[None, None, :], (bsz, g, a)).reshape(bsz, g * a)
+            valid_f = jnp.broadcast_to(gt.valid[:, :, None], (bsz, g, a)).reshape(bsz, g * a)
+            num_assigned = num_assigned + jnp.sum(on)
+            metrics[f"yolo/assigned_l{lvl}"] = jnp.sum(on) / num_images
 
             rr = h * w * a
             total_anchors += rr
 
             # scatter per image: obj target, box targets, class target,
             # and the ignore mask (every prior at a valid GT's center cell)
-            def per_image(flat_i, on_i, boxes_i, cls_i, best_anchor_i, valid_i):
+            def per_image(flat_i, on_i, boxes_i, cls_i, prior_i, valid_i):
                 tobj = jnp.zeros((rr,), jnp.float32).at[flat_i].max(on_i.astype(jnp.float32))
                 cell_base = (flat_i // a) * a
                 tign = jnp.zeros((rr,), jnp.float32)
@@ -178,16 +195,16 @@ class YOLO(nn.Module):
                 gcy = (boxes_i[:, 1] + boxes_i[:, 3]) / 2
                 tx = gcx / stride - jnp.floor(gcx / stride)
                 ty = gcy / stride - jnp.floor(gcy / stride)
-                pw = anchors_wh[best_anchor_i, 0]
-                ph = anchors_wh[best_anchor_i, 1]
+                pw = anchors_wh[prior_i, 0]
+                ph = anchors_wh[prior_i, 1]
                 tw = jnp.log(jnp.maximum(gw, 1.0) / pw)
                 th = jnp.log(jnp.maximum(gh, 1.0) / ph)
                 vals = jnp.stack([tx, ty, tw, th], axis=-1)
-                # scatter only the ON-level GTs (pad-slot trick): a `.set`
-                # at flat_i for every GT let an OFF-level GT landing on the
-                # same (cell, anchor) slot overwrite an on-level GT's box/
-                # class target with zeros (observed as depressed synthetic
-                # mAP in multi-object scenes)
+                # scatter only the ON entries (pad-slot trick): a `.set`
+                # at flat_i for every (GT, prior) pair let an OFF pair
+                # landing on the same (cell, anchor) slot overwrite an ON
+                # pair's box/class target with zeros (observed as depressed
+                # synthetic mAP in multi-object scenes)
                 flat_on = jnp.where(on_i, flat_i, rr)
                 tbox = jnp.zeros((rr + 1, 4), jnp.float32).at[flat_on].set(vals)[:rr]
                 tcls = jnp.zeros((rr + 1,), jnp.int32).at[flat_on].set(cls_i)[:rr]
@@ -195,7 +212,7 @@ class YOLO(nn.Module):
                 return tobj, tbox, tcls, tmask, tign
 
             tobj, tbox, tcls, tmask, tign = jax.vmap(per_image)(
-                flat, on_lvl, gt.boxes, gt.classes, best_anchor, gt.valid
+                flat, on_f, boxes_f, cls_f, prior_f, valid_f
             )
             tobj = jax.lax.stop_gradient(tobj)
             tbox = jax.lax.stop_gradient(tbox)
@@ -219,10 +236,9 @@ class YOLO(nn.Module):
             onehot = jax.nn.one_hot(tcls, c.num_classes, dtype=jnp.float32)
             losses_cls.append(jnp.sum(bce_with_logits(r[..., 5:], onehot) * tmask[..., None]))
 
-        n = jnp.maximum(num_assigned.astype(jnp.float32), 1.0)
-        num_images = images.pixels.shape[0]
+        n = jnp.maximum(num_assigned, 1.0)
         obj_pos = sum(p for p, _ in losses_obj)
-        obj_neg = sum(g for _, g in losses_obj)
+        obj_neg = sum(gn for _, gn in losses_obj)
         losses = {
             # positive-obj term per assigned anchor, background term per slot
             "loss_obj": (obj_pos / n + obj_neg / (num_images * total_anchors))
@@ -230,5 +246,5 @@ class YOLO(nn.Module):
             "loss_box_reg": sum(losses_box) / n * c.box_loss_weight,
             "loss_cls": sum(losses_cls) / n * c.cls_loss_weight,
         }
-        metrics = {"yolo/num_assigned": num_assigned / num_images}
+        metrics["yolo/num_assigned"] = num_assigned / num_images
         return losses, metrics

@@ -45,9 +45,16 @@ def synthesize_detection_image(
     img = (rng.rand(size, size, 3) * 60).astype(np.uint8)
     n = rng.randint(1, max_objects + 1)
     boxes, classes = [], []
+    # log-uniform side lengths over [~size/32, size/2]: the old uniform
+    # [size//10, size//2) floor left the COCO-small bucket (area < 32²)
+    # essentially unpopulated (measured: 3 of 283 eval GTs at 256px, 1.1%),
+    # so stride-8 heads got no training signal and APs was a coin flip over
+    # ~3 objects — dmap_yolo_r4.json's APs=0.000 was a data artifact, not a
+    # head failure. Log-uniform puts ~1/3 of objects in each COCO bucket.
+    lo, hi = max(6, size // 32), size // 2
     for _ in range(n):
-        w = rng.randint(size // 10, size // 2)
-        h = rng.randint(size // 10, size // 2)
+        w = int(round(np.exp(rng.uniform(np.log(lo), np.log(hi)))))
+        h = int(round(np.exp(rng.uniform(np.log(lo), np.log(hi)))))
         x1 = rng.randint(0, size - w)
         y1 = rng.randint(0, size - h)
         cls = rng.randint(0, num_classes)
@@ -166,6 +173,23 @@ def rasterize_box_masks(boxes: np.ndarray, hw: Tuple[int, int], stride: int) -> 
             (ys[:, None] >= y1) & (ys[:, None] < y2) & (xs[None, :] >= x1) & (xs[None, :] < x2)
         )
     return out
+
+
+def rasterize_box_masks_device(boxes, hw: Tuple[int, int], stride: int):
+    """jnp twin of :func:`rasterize_box_masks`: ``(..., G, 4)`` canvas-coord
+    boxes → ``(..., G, H/stride, W/stride)`` uint8 bitmaps, computed ON
+    DEVICE — so ``--feed cached --masks`` rasterizes targets from the cached
+    GT boxes inside the jitted gather and ships NO bitmaps over the wire
+    (the host path moved 50-110 MB/s and capped Mask R-CNN training at
+    40-90 img/s; see the wire analysis below)."""
+    import jax.numpy as jnp
+
+    h, w = hw[0] // stride, hw[1] // stride
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * stride
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * stride
+    yin = (ys >= boxes[..., 1, None]) & (ys < boxes[..., 3, None])  # (..., G, h)
+    xin = (xs >= boxes[..., 0, None]) & (xs < boxes[..., 2, None])  # (..., G, w)
+    return (yin[..., :, None] & xin[..., None, :]).astype(jnp.uint8)
 
 
 def make_batches(
@@ -320,19 +344,29 @@ def build_device_cache(
     return next(it)
 
 
-def make_cached_gather():
+def make_cached_gather(mask_spec: Optional[Tuple[int, int]] = None):
     """Jitted on-device batch assembly: ``(cache_images, cache_gt, idx) →
-    (ImageBatch, GroundTruth)`` — a pure gather along the dataset dim."""
+    (ImageBatch, GroundTruth)`` — a pure gather along the dataset dim.
+
+    ``mask_spec=(image_size, mask_stride)`` additionally rasterizes rect
+    instance bitmaps on device from the gathered GT boxes (the cache itself
+    stores none), fused into the same jitted program."""
+    import dataclasses as _dc
+
     import jax
 
     def gather(cache_images, cache_gt, idx):
         import jax.numpy as jnp
 
         take = lambda x: jnp.take(x, idx, axis=0)
-        return (
-            jax.tree_util.tree_map(take, cache_images),
-            jax.tree_util.tree_map(take, cache_gt),
-        )
+        images = jax.tree_util.tree_map(take, cache_images)
+        gt = jax.tree_util.tree_map(take, cache_gt)
+        if mask_spec is not None:
+            size, stride = mask_spec
+            gt = _dc.replace(
+                gt, masks=rasterize_box_masks_device(gt.boxes, (size, size), stride)
+            )
+        return images, gt
 
     return jax.jit(gather)
 

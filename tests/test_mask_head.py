@@ -20,6 +20,54 @@ def test_rasterize_box_masks():
     assert m[0].sum() == 8
 
 
+def test_rasterize_device_matches_host(rng):
+    """The jitted on-device rasterizer (--feed cached --masks) is bit-equal
+    to the host numpy one over random batched boxes."""
+    from detax.train.coco import rasterize_box_masks_device
+
+    size, stride = 64, 4
+    boxes = np.stack(
+        [
+            np.sort(rng.uniform(0, size, (16, 2)), axis=-1),  # x1 < x2
+            np.sort(rng.uniform(0, size, (16, 2)), axis=-1),  # y1 < y2
+        ],
+        axis=-1,
+    ).reshape(16, 4)[:, [0, 2, 1, 3]]  # → xyxy
+    host = np.stack([rasterize_box_masks(boxes[i : i + 4], (size, size), stride) for i in (0, 4, 8, 12)])
+    dev = np.asarray(
+        jax.jit(
+            lambda b: rasterize_box_masks_device(b, (size, size), stride)
+        )(jnp.asarray(boxes.reshape(4, 4, 4), jnp.float32))
+    )
+    np.testing.assert_array_equal(host, dev)
+
+
+def test_cached_gather_rasterizes_masks():
+    """make_cached_gather(mask_spec) attaches device-rasterized bitmaps that
+    match the host rect_masks feed for the same items."""
+    from detax.configs.detector import PreprocessConf
+    from detax.train.coco import (
+        SyntheticCOCO,
+        build_device_cache,
+        make_batches,
+        make_cached_gather,
+    )
+
+    pconf = PreprocessConf(image_size=64)
+    ds = SyntheticCOCO(num_images=4, image_size=64, num_classes=3, seed=7)
+    cache_images, cache_gt = build_device_cache(ds, pconf, max_gt_boxes=8)
+    gather = make_cached_gather(mask_spec=(64, pconf.mask_stride))
+    images, gt = gather(cache_images, cache_gt, np.arange(4, dtype=np.int32))
+    assert gt.masks is not None and gt.masks.shape[:2] == (4, 8)
+    host_images, host_gt = next(
+        make_batches(ds, 4, pconf, max_gt_boxes=8, epochs=1, rect_masks=True, shuffle=False)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(gt.masks) * np.asarray(gt.valid)[:, :, None, None].astype(np.uint8),
+        np.asarray(host_gt.masks),
+    )
+
+
 def test_crop_gt_masks_full_box_is_ones(rng):
     size, stride = 64, 4
     boxes = np.array([[[8.0, 8.0, 40.0, 40.0]]], np.float32)  # (1,1,4)
