@@ -21,6 +21,12 @@ class RetinaNetHeadConf(BaseConf):
     num_convs: int = 4
     prior_prob: float = 0.01  # focal-loss bias init
     norm: str = ""
+    # int8 tower quantization (detax.ops.quant): None = bf16; "qat" =
+    # fake-quant training/pricing numerics; "int8" = real int8 convs from
+    # exported params (serving). The towers are the model's FLOP bulk
+    # (docs/ceiling-analysis.md §RetinaNet: 8 convs at 97% MFU); predictors
+    # stay bf16 — their outputs feed selection/decode directly.
+    quant: object = None
 
 
 @register_conf

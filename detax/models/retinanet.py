@@ -47,6 +47,7 @@ class RetinaNet(nn.Module):
             num_anchors=num_anchors[0],
             num_convs=c.head.num_convs,
             prior_prob=c.head.prior_prob,
+            quant=c.head.quant,
             dtype=self.dtype,
         )
 

@@ -24,21 +24,29 @@ class RetinaNetHead(nn.Module):
     num_convs: int = 4
     prior_prob: float = 0.01
     box_dim: int = 4
+    # int8 tower quantization: None | "qat" | "int8" (detax.ops.quant).
+    # Same param names as nn.Conv, so bf16 checkpoints load into "qat" and
+    # export_int8_conv produces the "int8" pytree.
+    quant: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, features: List[jnp.ndarray]) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
         channels = features[0].shape[-1]
-        cls_tower = [
-            nn.Conv(channels, (3, 3), padding="SAME", kernel_init=_init, dtype=self.dtype,
-                    name=f"cls_conv{i}")
-            for i in range(self.num_convs)
-        ]
-        box_tower = [
-            nn.Conv(channels, (3, 3), padding="SAME", kernel_init=_init, dtype=self.dtype,
-                    name=f"box_conv{i}")
-            for i in range(self.num_convs)
-        ]
+        if self.quant:
+            from detax.ops.quant import QuantConv
+
+            mk = lambda name: QuantConv(
+                channels, (3, 3), mode=self.quant, kernel_init=_init,
+                dtype=self.dtype, name=name,
+            )
+        else:
+            mk = lambda name: nn.Conv(
+                channels, (3, 3), padding="SAME", kernel_init=_init, dtype=self.dtype,
+                name=name,
+            )
+        cls_tower = [mk(f"cls_conv{i}") for i in range(self.num_convs)]
+        box_tower = [mk(f"box_conv{i}") for i in range(self.num_convs)]
         bias_init = nn.initializers.constant(-math.log((1 - self.prior_prob) / self.prior_prob))
         cls_pred = nn.Conv(
             self.num_anchors * self.num_classes, (3, 3), padding="SAME",
