@@ -317,16 +317,17 @@ class DetectionService:
         yuv_free: dict[int, object] = {}
 
         # -- dispatch stage: device transfer + program launch ----------------
-        # The host→device transfer on this tunneled backend is CPU-heavy
-        # (client-side serialize) AND has real network wait; running it on
-        # its own thread lets the next batch's jpeg decode proceed during
-        # the wait portion (measured: decode and dispatch serialized on one
-        # thread cost 240+130 ms per 32-batch; pipelined, the wire wait
-        # overlaps decode). queue maxsize 1 + the double buffer bound the
-        # pipeline at 2 batches, preserving the old backpressure rule.
+        # The host→device transfer on this tunneled backend is CPU-cheap to
+        # SERIALIZE (~20 ms) but the actual wire crossing of a 19.7 MB
+        # 4:2:0 batch runs at the tunnel's 50–230 MB/s — ~100–400 ms of
+        # pure network time that the serve loop must hide. The wire is the
+        # measured engine bound (docs/serving-ceiling.md): throughput cap =
+        # wire_rate / 0.61 MB/img. Keeping the wire permanently busy needs
+        # pipeline depth 3 (one decoding, one on the wire, one executing):
+        # 3 buffers per bucket + queue maxsize 2 + inflight bound 3.
         import queue as _queue
 
-        dispatch_q: _queue.Queue = _queue.Queue(maxsize=1)
+        dispatch_q: _queue.Queue = _queue.Queue(maxsize=2)
         inflight = collections.deque()
 
         def dispatcher():
@@ -366,7 +367,7 @@ class DetectionService:
                         self._post_results, ids2, packed, scales2.copy(), binflags2
                     )
                 )
-                while len(inflight) > 2:
+                while len(inflight) > 3:
                     inflight.popleft().result()
 
         disp_thread = threading.Thread(target=dispatcher, daemon=True, name="detax-dispatch")
@@ -402,7 +403,7 @@ class DetectionService:
                     free = yuv_free.get(nb)
                     if free is None:
                         free = yuv_free.setdefault(nb, _queue.Queue())
-                        for _ in range(2):
+                        for _ in range(3):
                             free.put(np.empty((nb, slot), np.uint8))
                     buf = free.get()
                     tg = _time.perf_counter()
@@ -462,17 +463,28 @@ class DetectionService:
 
     def _post_results(self, ids, packed, scales, binflags=None) -> None:
         try:
+            import os as _os
+            import time as _t
+
+            trace = _os.environ.get("DETAX_SERVE_TRACE", "") == "1"
+            t0 = _t.perf_counter()
             try:
                 # wait GIL-free: is_ready() is a cheap local query and the
                 # sleep fully releases the GIL, so jpeg decode / HTTP threads
                 # keep the core while the device + d2h copy finish remotely
-                import time as _t
-
                 while not packed.is_ready():
                     _t.sleep(0.002)
             except Exception:
                 pass
+            t1 = _t.perf_counter()
             out = np.asarray(packed)  # one host transfer: (B, K, 7)
+            if trace:
+                t2 = _t.perf_counter()
+                print(
+                    f"  post n={len(ids)} ready-wait={1e3*(t1-t0):.1f} "
+                    f"fetch={1e3*(t2-t1):.1f} ms",
+                    flush=True,
+                )
             boxes, scores = out[..., :4], out[..., 4]
             classes = out[..., 5].astype(np.int32)
             valid = out[..., 6] > 0.5

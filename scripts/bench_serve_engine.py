@@ -24,6 +24,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
@@ -35,6 +41,12 @@ def main() -> None:
         "--outstanding", type=int, default=0,
         help="open-loop mode: submit continuously with at most this many "
         "images in flight (0 = closed-loop detect_many_jpeg feeders)",
+    )
+    ap.add_argument(
+        "--sequential", action="store_true",
+        help="single-threaded stage-timed floor: decode -> h2d -> dispatch "
+        "-> fetch, no batcher/HTTP/threads — separates host CPU cost from "
+        "tunnel weather",
     )
     ap.add_argument("--aot-cache", default="/tmp/detax_aot_cache")
     args = ap.parse_args()
@@ -64,7 +76,67 @@ def main() -> None:
         model, params, conf.preprocess, max_batch=args.batch, batch_timeout_ms=8.0,
         aot_cache=args.aot_cache or None, conf_json=conf_json,
     )
-    service.start()
+
+    if args.sequential:
+        import io as _io
+
+        from detax.serve import loader
+
+        service.warmup()
+        rng = np.random.RandomState(0)
+        raw = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+        yy, xx = np.mgrid[0:480, 0:640]
+        img = ((np.stack([yy % 256, xx % 256, (yy + xx) % 256], -1) + raw // 4) % 256).astype(
+            np.uint8
+        )
+        b = _io.BytesIO()
+        Image.fromarray(img).save(b, format="JPEG", quality=85)
+        jpeg = b.getvalue()
+        n = args.batch
+        size = args.image_size
+        slot = loader.yuv_slot_bytes(size)
+        buf = np.empty((n, slot), np.uint8)
+        fwd = service._compiled[("yuv", n)]
+        stages = {"decode": [], "h2d": [], "dispatch": [], "fetch": []}
+        payloads = [jpeg] * n
+        t_all0 = time.time()
+        nb_done = 0
+        while time.time() - t_all0 < args.seconds:
+            t0 = time.perf_counter()
+            _, sizes, scales, fails = loader.decode_letterbox_yuv_batch(
+                payloads, size, out=buf, fast_dct=True
+            )
+            t1 = time.perf_counter()
+            dev = jnp.asarray(buf)
+            t2 = time.perf_counter()
+            sizes_f = np.asarray(sizes, np.float32)
+            packed = fwd(params, dev, jnp.asarray(sizes_f), jnp.asarray(scales))
+            t3 = time.perf_counter()
+            out = np.asarray(packed)
+            t4 = time.perf_counter()
+            stages["decode"].append(t1 - t0)
+            stages["h2d"].append(t2 - t1)
+            stages["dispatch"].append(t3 - t2)
+            stages["fetch"].append(t4 - t3)
+            nb_done += 1
+        dt = time.time() - t_all0
+        med = {k: round(1e3 * float(np.median(v)), 1) for k, v in stages.items()}
+        print(
+            json.dumps(
+                {
+                    "mode": "sequential",
+                    "engine_images_per_s": round(nb_done * n / dt, 1),
+                    "batch": n,
+                    "jpeg_kb": round(len(jpeg) / 1e3, 1),
+                    "stage_median_ms": med,
+                    "batches": nb_done,
+                }
+            )
+        )
+        service.stop()
+        return
+
+    service.start(warmup=True)
 
     rng = np.random.RandomState(0)
     raw = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
@@ -75,6 +147,28 @@ def main() -> None:
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, format="JPEG", quality=85)
     jpeg = buf.getvalue()
+
+    # measure the tunnel wire rate IN this run (block_until_ready is a no-op
+    # on this backend — only a host round-trip is a real barrier), because
+    # the engine cap is wire_rate / slot_bytes (docs/serving-ceiling.md)
+    from detax.serve import loader
+
+    slot_b = loader.yuv_slot_bytes(args.image_size)
+    big = np.empty((args.batch, slot_b), np.uint8)
+    red = jax.jit(lambda x: x.astype(jnp.uint32).sum())
+    float(red(jnp.asarray(np.ones((1,), np.uint8))))  # compile + warm (tiny)
+    rtt = min(
+        _timed(lambda: float(red(jnp.asarray(np.ones((1,), np.uint8))))) for _ in range(5)
+    )
+    float(red(jnp.asarray(big)))  # compile + warm (big shape)
+    t_wire = min(_timed(lambda: float(red(jnp.asarray(big)))) for _ in range(5)) - rtt
+    wire_mbps = big.nbytes / max(t_wire, 1e-6) / 1e6
+    wire_cap = wire_mbps * 1e6 / slot_b
+    print(
+        f"wire: {wire_mbps:.0f} MB/s (rtt {1e3*rtt:.0f} ms) -> "
+        f"engine cap ~{wire_cap:.0f} img/s at {slot_b/1e6:.2f} MB/img",
+        flush=True,
+    )
 
     # warm
     service.detect_many_jpeg([jpeg] * args.batch, binary=True)
@@ -131,6 +225,8 @@ def main() -> None:
                 "batch": args.batch,
                 "feeders": args.feeders if not args.outstanding else 0,
                 "outstanding": args.outstanding,
+                "wire_mbps": round(wire_mbps, 1),
+                "wire_cap_img_s": round(wire_cap, 1),
                 "jpeg_kb": round(len(jpeg) / 1e3, 1),
                 "server_p50_ms": round(s["p50_ms"], 1),
                 "server_p99_ms": round(s["p99_ms"], 1),
