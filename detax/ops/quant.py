@@ -112,6 +112,12 @@ class QuantConv(nn.Module):
             xq = jnp.clip(
                 jnp.round(x.astype(jnp.float32) / a_scale), -127, 127
             ).astype(jnp.int8)
+            # materialize the int8 operand: without the barrier XLA fuses
+            # the quantize into the conv input and loses the int8 MXU path
+            # (measured: the fused form ran 10x SLOWER than bf16 while the
+            # same conv with an int8 program input ran 1.36x FASTER —
+            # scripts/probe_int8_static.py vs retinanet_q8 --bench r5)
+            xq = jax.lax.optimization_barrier(xq)
             y32 = jax.lax.conv_general_dilated(
                 xq, kernel, window_strides=(1, 1), padding="SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -103,8 +103,49 @@ def main(batch=8, size=640, steps=30):
 
     run_feed("cached", cached_batches, next(cached_batches()))
 
+    # Mask R-CNN rows (VERDICT r4 item 6): host-rasterized bitmaps shipped
+    # per step vs device-rasterized masks inside the cached gather — the
+    # latter ships NO mask bytes and should sit at the mask model's device
+    # bound.
+    model_m, conf_m = _build_model(size, 16, mask_on=True, profile="tpu")
+
+    def run_feed_m(name, batches_fn, first_batch):
+        images, gt = first_batch
+        params = jax.jit(model_m.init)(jax.random.PRNGKey(0), images)
+        state, tx = create_train_state(params, learning_rate=0.01)
+        step = make_train_step(model_m, tx, augment=True)
+        state, m = step(state, images, gt)
+        float(m["total_loss"])
+        batches = batches_fn()
+        t0 = time.time()
+        for _ in range(steps):
+            images, gt = next(batches)
+            state, m = step(state, images, gt)
+        loss = float(m["total_loss"])
+        dt = time.time() - t0
+        rate = batch * steps / dt
+        results[f"{name}_img_per_s"] = round(rate, 1)
+        print(f"{name:16s}: {rate:7.1f} img/s (loss {loss:.3f})", flush=True)
+
+    mk_host_masks = lambda: prefetch_batches(
+        make_batches(
+            ds, batch, pp, max_gt_boxes=conf_m.max_gt_boxes, device_normalize=True,
+            rect_masks=True,
+        )
+    )
+    run_feed_m("masks_host", mk_host_masks, next(mk_host_masks()))
+
+    gather_m = make_cached_gather(mask_spec=(size, pp.mask_stride))
+    idx_m = cached_index_batches(len(ds), batch, seed=0)
+
+    def cached_mask_batches():
+        while True:
+            yield gather_m(cache_images, cache_gt, np.asarray(next(idx_m)))
+
+    run_feed_m("masks_cached", cached_mask_batches, next(cached_mask_batches()))
+
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/train_feed_r4.json", "w") as f:
+    with open("artifacts/train_feed_r5.json", "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))
 

@@ -12,7 +12,10 @@ import argparse
 import json
 import os
 import pickle
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
